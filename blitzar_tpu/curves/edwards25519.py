@@ -1,0 +1,125 @@
+"""curve25519 in twisted-Edwards form (a = -1), extended coordinates.
+
+Batched group law over (16, *batch)-limb field elements. The unified addition
+is complete (handles identity and doubling), which is what makes the MSM
+tree-reduction mask-free: padding slots are filled with the identity.
+
+Mirrors the semantics of reference sxt/curve21/operation/{add,double}.h
+(libsodium's unified Edwards formulas) without the p1p1/cached intermediate
+types — on TPU every op is a fused batched vector program, so the staging
+types would only obscure XLA's view.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..fields import fp25519 as F
+from ..refimpl.core import D as _D_INT
+
+
+class PointP3(NamedTuple):
+    """Extended coordinates: x*y = t*z, point = (x/z, y/z)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    t: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.x.shape[1:]
+
+
+D2_INT = (2 * _D_INT) % (2**255 - 19)
+
+
+def _d2(batch_ndim: int):
+    return F.from_int_const(D2_INT, (1,) * batch_ndim)
+
+
+def identity(batch_shape=()) -> PointP3:
+    zero = F.zeros(batch_shape)
+    one = F.from_int_const(1, batch_shape)
+    return PointP3(zero, one, one, zero)
+
+
+def add(p: PointP3, q: PointP3) -> PointP3:
+    """Unified twisted-Edwards addition (add-2008-hwcd-3, a = -1)."""
+    a = F.mul(F.sub(p.y, p.x), F.sub(q.y, q.x))
+    b = F.mul(F.add(p.y, p.x), F.add(q.y, q.x))
+    c = F.mul(F.mul(p.t, q.t), _d2(max(p.x.ndim, q.x.ndim) - 1))
+    d = F.mul_small(F.mul(p.z, q.z), 2)
+    e = F.sub(b, a)
+    f = F.sub(d, c)
+    g = F.add(d, c)
+    h = F.add(b, a)
+    return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
+def double(p: PointP3) -> PointP3:
+    a = F.sq(p.x)
+    b = F.sq(p.y)
+    c = F.mul_small(F.sq(p.z), 2)
+    h = F.add(a, b)
+    e = F.sub(h, F.sq(F.add(p.x, p.y)))
+    g = F.sub(a, b)
+    f = F.add(c, g)
+    return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
+def neg(p: PointP3) -> PointP3:
+    return PointP3(F.neg(p.x), p.y, p.z, F.neg(p.t))
+
+
+def cneg(p: PointP3, cond) -> PointP3:
+    """Conditionally negate (cond broadcast over the batch shape)."""
+    return PointP3(F.cneg(p.x, cond), p.y, p.z, F.cneg(p.t, cond))
+
+
+def select(p: PointP3, q: PointP3, cond) -> PointP3:
+    """Pointwise select: q where cond else p."""
+    return PointP3(
+        F.cmov(p.x, q.x, cond),
+        F.cmov(p.y, q.y, cond),
+        F.cmov(p.z, q.z, cond),
+        F.cmov(p.t, q.t, cond),
+    )
+
+
+def stack(points, axis=1):
+    """Stack a list of equal-shape points along a new batch axis."""
+    return PointP3(*(jnp.stack(cs, axis=axis) for cs in zip(*points)))
+
+
+def reshape_batch(p: PointP3, shape) -> PointP3:
+    return PointP3(*(c.reshape((F.NLIMBS,) + tuple(shape)) for c in p))
+
+
+def index_batch(p: PointP3, idx) -> PointP3:
+    """Index/slice the batch axes (limb axis untouched)."""
+    return PointP3(*(c[(slice(None),) + (idx if isinstance(idx, tuple) else (idx,))] for c in p))
+
+
+def tree_reduce(p: PointP3, axis_size: int) -> PointP3:
+    """Sum points along the LAST batch axis by halving; identity-absorbing.
+
+    The unified add is complete, so callers pad with identity() instead of
+    masking. Work is ~axis_size adds total across log2 levels, each level a
+    full-width batched add (this is the TPU dual of the reference's per-thread
+    serial bucket walks, reference multiexp/bucket_method/accumulation_kernel.h).
+    """
+    cur = p
+    size = axis_size
+    while size > 1:
+        if size % 2 == 1:
+            pad = identity(cur.batch_shape[:-1] + (1,))
+            cur = PointP3(*(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(cur, pad)))
+            size += 1
+        lo = index_batch(cur, (Ellipsis, slice(0, size, 2)))
+        hi = index_batch(cur, (Ellipsis, slice(1, size, 2)))
+        cur = add(lo, hi)
+        size //= 2
+    return index_batch(cur, (Ellipsis, 0))

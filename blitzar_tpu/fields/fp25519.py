@@ -1,0 +1,234 @@
+"""GF(2^255 - 19) arithmetic, vectorized for TPU lanes.
+
+Representation: a field element batch is a single ``uint32`` array of shape
+``(16, *batch)`` — sixteen 16-bit little-endian limbs, limb axis leading so the
+batch rides the TPU vector lanes (the SoA dual of the reference's
+one-thread-one-element layout, see reference sxt/field51/type/element.h).
+
+Invariant for stored elements: every limb is < 2^16 and the represented value
+is < 2^256 (congruent mod p, not necessarily canonical). All ops take and
+return arrays satisfying the invariant. TPUs have no 64-bit integer multiply,
+so products are formed as 16x16->32-bit partials with immediate lo/hi
+splitting; accumulator bounds are commented at each step.
+
+The schoolbook product is computed as ONE (16, 16, batch) elementwise
+multiply plus a pad/reshape realignment (a Toeplitz skew: OUT[i, k] =
+P[i, k-i] == reshape(flatten(pad(P, 17)))[:, :32]), rather than 256 separate
+scalar-limb ops — this keeps both the HLO graph and the VPU schedule dense.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+NLIMBS = 16
+LIMB_BITS = 16
+MASK = jnp.uint32(0xFFFF)
+
+# p = 2^255 - 19 as 16-bit limbs.
+P_LIMBS = (0xFFED,) + (0xFFFF,) * 14 + (0x7FFF,)
+# 4p = 2^257 - 76 decomposed with per-limb slack in [2^16, 2^17) so that
+# a[i] + FOURP[i] - b[i] never borrows: 4p = (2^17-76) + sum_{i>=1} (2^17-2)*2^16i.
+FOURP_LIMBS = (0x1FFB4,) + (0x1FFFE,) * 15
+
+
+def _const(limbs, batch_ndim):
+    c = jnp.array(limbs, dtype=jnp.uint32)
+    return c.reshape((len(limbs),) + (1,) * batch_ndim)
+
+
+def zeros(batch_shape=()):
+    return jnp.zeros((NLIMBS,) + tuple(batch_shape), dtype=jnp.uint32)
+
+
+def from_int_const(value: int, batch_shape=()):
+    """Broadcast a Python-int field constant to (16, *batch)."""
+    value %= 2**256
+    limbs = [(value >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
+    c = jnp.array(limbs, dtype=jnp.uint32).reshape((NLIMBS,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(c, (NLIMBS,) + tuple(batch_shape))
+
+
+def _carry_pass(limbs):
+    """Sequential carry propagation. Input rows may be up to 2^31; output rows
+    are < 2^16 with the radix-2^16 carry returned (carry <= 2^16)."""
+    out = []
+    c = jnp.zeros_like(limbs[0])
+    for i in range(NLIMBS):
+        t = limbs[i] + c
+        out.append(t & MASK)
+        c = t >> LIMB_BITS
+    return out, c
+
+
+def _finalize(limbs):
+    """Reduce a list of 16 uint32 accumulator rows (each <= 2^31) to the stored
+    invariant (limbs < 2^16, value < 2^256), folding 2^256 == 38 (mod p)."""
+    out, c = _carry_pass(limbs)
+    # c <= 2^16 so 38*c <= 2^21.3; value now < 2^256 + 2^22.
+    out[0] = out[0] + jnp.uint32(38) * c
+    out, c2 = _carry_pass(out)
+    # c2 in {0, 1}; if c2 == 1 the remaining value is < 2^22, so only limbs
+    # 0..1 are nonzero and the fold below cannot cascade past limb 1.
+    t = out[0] + jnp.uint32(38) * c2
+    out[0] = t & MASK
+    out[1] = out[1] + (t >> LIMB_BITS)
+    return jnp.stack(out)
+
+
+def add(a, b):
+    return _finalize(list(a + b))
+
+
+def sub(a, b):
+    # a + 4p - b: each row in [0, 2^17 + 2^16), no borrow.
+    fourp = _const(FOURP_LIMBS, a.ndim - 1)
+    return _finalize(list(a + fourp - b))
+
+
+def neg(a):
+    fourp = _const(FOURP_LIMBS, a.ndim - 1)
+    return _finalize(list(fourp - a))
+
+
+def _schoolbook(a, b):
+    """32 accumulator rows of the 256-bit x 256-bit product, each < 2^21."""
+    outer = a[:, None] * b[None, :]  # (16, 16, *batch); exact in uint32
+    lo = outer & MASK
+    hi = outer >> LIMB_BITS
+    batch = outer.shape[2:]
+
+    def skew(mat):
+        # OUT[i, k] = mat[i, k - i] (zeros elsewhere): pad rows to width 33,
+        # flatten, re-slice with stride 32.
+        padded = jnp.concatenate(
+            [mat, jnp.zeros((NLIMBS, NLIMBS + 1) + batch, jnp.uint32)], axis=1
+        )
+        flat = padded.reshape((NLIMBS * 33,) + batch)
+        return flat[: NLIMBS * 32].reshape((NLIMBS, 32) + batch)
+
+    acc = jnp.sum(skew(lo), axis=0, dtype=jnp.uint32)  # (32, *batch), <= 16*2^16
+    acc_hi = jnp.sum(skew(hi), axis=0, dtype=jnp.uint32)
+    # hi parts land one limb higher.
+    acc = acc + jnp.concatenate([jnp.zeros((1,) + batch, jnp.uint32), acc_hi[:-1]])
+    # acc[31] high part: hi of (15,15) product is acc_hi[30] -> acc[31]; the
+    # only contribution beyond index 31 would be acc_hi[31], which is zero
+    # (lo row 15 occupies columns 15..30, so column 31 of the skew is empty).
+    return acc
+
+
+def mul(a, b):
+    acc = _schoolbook(a, b)
+    # Fold 2^256 == 38: rows < 2^21 + 38*2^21 < 2^27.
+    lo = acc[:NLIMBS] + jnp.uint32(38) * acc[NLIMBS:]
+    return _finalize(list(lo))
+
+
+def sq(a):
+    return mul(a, a)
+
+
+def mul_small(a, k: int):
+    """Multiply by a small constant (k < 2^15)."""
+    return _finalize(list(a * jnp.uint32(k)))
+
+
+def pow2k(a, k: int):
+    """a^(2^k) by repeated squaring (fori_loop keeps the graph small)."""
+    return lax.fori_loop(0, k, lambda _, x: sq(x), a)
+
+
+def _pow_chain_250(z):
+    """z^(2^250 - 1), the shared prefix of the inversion / pow22523 chains."""
+    z2 = sq(z)
+    z9 = mul(pow2k(z2, 2), z)
+    z11 = mul(z9, z2)
+    z2_5_0 = mul(sq(z11), z9)  # 2^5 - 1
+    z2_10_0 = mul(pow2k(z2_5_0, 5), z2_5_0)
+    z2_20_0 = mul(pow2k(z2_10_0, 10), z2_10_0)
+    z2_40_0 = mul(pow2k(z2_20_0, 20), z2_20_0)
+    z2_50_0 = mul(pow2k(z2_40_0, 10), z2_10_0)
+    z2_100_0 = mul(pow2k(z2_50_0, 50), z2_50_0)
+    z2_200_0 = mul(pow2k(z2_100_0, 100), z2_100_0)
+    z2_250_0 = mul(pow2k(z2_200_0, 50), z2_50_0)
+    return z2_250_0, z11
+
+
+def invert(a):
+    """a^(p-2); returns 0 for input 0."""
+    z2_250_0, z11 = _pow_chain_250(a)
+    return mul(pow2k(z2_250_0, 5), z11)  # 2^255 - 21 = p - 2
+
+
+def pow22523(a):
+    """a^((p-5)/8) = a^(2^252 - 3) (reference field51/operation/pow22523)."""
+    z2_250_0, _ = _pow_chain_250(a)
+    return mul(pow2k(z2_250_0, 2), a)
+
+
+def _sub_borrow(a_rows, b_limbs):
+    """(a - b) mod 2^256 limbwise with borrow chain; returns (rows, borrow)."""
+    out = []
+    borrow = jnp.zeros_like(a_rows[0])
+    for i in range(NLIMBS):
+        t = a_rows[i] + jnp.uint32(0x10000) - jnp.uint32(b_limbs[i]) - borrow
+        out.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+    return out, borrow
+
+
+def canonicalize(a):
+    """Fully reduce to [0, p). Stored values are < 2^256 <= 2p + 38, so at
+    most two conditional subtractions of p are needed."""
+    rows = list(a)
+    for _ in range(2):
+        d, borrow = _sub_borrow(rows, P_LIMBS)
+        keep = borrow.astype(jnp.bool_)
+        rows = [jnp.where(keep, r, dr) for r, dr in zip(rows, d)]
+    return jnp.stack(rows)
+
+
+def is_negative(a):
+    """Canonical-parity sign bit (lsb of the canonical encoding)."""
+    return canonicalize(a)[0] & jnp.uint32(1)
+
+
+def is_zero(a):
+    c = canonicalize(a)
+    return jnp.all(c == 0, axis=0)
+
+
+def eq(a, b):
+    return is_zero(sub(a, b))
+
+
+def cmov(a, b, cond):
+    """Select b where cond (broadcast over the limb axis)."""
+    return jnp.where(cond[None].astype(jnp.bool_), b, a)
+
+
+def abs_(a):
+    return cmov(a, neg(a), is_negative(a) == 1)
+
+
+def cneg(a, cond):
+    return cmov(a, neg(a), cond)
+
+
+def to_bytes(a):
+    """Canonical 32-byte little-endian encoding: (32, *batch) uint8."""
+    c = canonicalize(a)
+    lo = (c & jnp.uint32(0xFF)).astype(jnp.uint8)
+    hi = ((c >> 8) & jnp.uint32(0xFF)).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=1).reshape((32,) + a.shape[1:])
+
+
+def from_bytes(b):
+    """(32, *batch) uint8 little-endian -> element; bit 255 is masked
+    (reference field51/base/byte_conversion semantics)."""
+    b = b.astype(jnp.uint32)
+    pairs = b.reshape((NLIMBS, 2) + b.shape[1:])
+    limbs = pairs[:, 0] | (pairs[:, 1] << 8)
+    limbs = limbs.at[NLIMBS - 1].set(limbs[NLIMBS - 1] & jnp.uint32(0x7FFF))
+    return limbs

@@ -1,0 +1,137 @@
+"""Canonical ristretto generator derivation and precompute cache.
+
+Generator for row index i is elligator(r1) + elligator(r0) where (r0, r1) are
+two field elements drawn from xorshift128+ seeded (i+1, i+2) — the exact
+derivation of reference seqcommit/generator/base_element.cc:30-45 and
+sxt/field51/random/element.cc. The RNG runs vectorized on the host (numpy
+uint64); the elligator map and point addition run batched on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curves import edwards25519 as ed
+from .curves import ristretto as rst
+from .fields import fp25519 as F
+
+_CHUNK = 4096
+
+
+def _xorshift_limbs(indices: np.ndarray):
+    """Vectorized xorshift128+ -> two (16, n) uint32 limb arrays (bit255 masked)."""
+    indices = np.asarray(indices, dtype=np.uint64)
+    a = indices + np.uint64(1)
+    b = indices + np.uint64(2)
+    outs = []
+    for _ in range(8):
+        t = a
+        s = b
+        a = s
+        t = t ^ (t << np.uint64(23))
+        t = t ^ (t >> np.uint64(17))
+        t = t ^ s ^ (s >> np.uint64(26))
+        b = t
+        outs.append(t + s)
+
+    def to_limbs(words):  # 4 x (n,) uint64 -> (16, n) uint32
+        rows = []
+        for w in words:
+            for j in range(4):
+                rows.append(((w >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(np.uint32))
+        limbs = np.stack(rows)
+        limbs[15] &= np.uint32(0x7FFF)
+        return limbs
+
+    return to_limbs(outs[0:4]), to_limbs(outs[4:8])
+
+
+@functools.partial(jax.jit)
+def _form_points(r0_limbs, r1_limbs) -> ed.PointP3:
+    return ed.add(rst.elligator(r1_limbs), rst.elligator(r0_limbs))
+
+
+def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
+    """PointP3 batch of the canonical generators [offset, offset + n)."""
+    if n == 0:
+        return ed.identity((0,))
+    chunks = []
+    for start in range(0, n, _CHUNK):
+        count = min(_CHUNK, n - start)
+        idx = np.arange(offset + start, offset + start + count, dtype=np.uint64)
+        if count < _CHUNK:
+            idx = np.concatenate([idx, np.zeros(_CHUNK - count, np.uint64)])
+        r0, r1 = _xorshift_limbs(idx)
+        pts = _form_points(jnp.asarray(r0), jnp.asarray(r1))
+        chunks.append(ed.index_batch(pts, (slice(0, count),)))
+    if len(chunks) == 1:
+        return chunks[0]
+    return ed.PointP3(*(jnp.concatenate(cs, axis=1) for cs in zip(*chunks)))
+
+
+class _GeneratorCache:
+    """Process-global prefix of precomputed generators (mirrors reference
+    seqcommit/generator/precomputed_generators.cc)."""
+
+    def __init__(self):
+        self.points: ed.PointP3 | None = None
+        self.count = 0
+
+    def get(self, n: int, offset: int = 0) -> ed.PointP3:
+        end = offset + n
+        if end > self.count:
+            grow_to = max(end, 2 * self.count)
+            self.points = ristretto_generators(grow_to)
+            self.count = grow_to
+        return ed.index_batch(self.points, (slice(offset, end),))
+
+    def reset(self):
+        self.points = None
+        self.count = 0
+
+
+CACHE = _GeneratorCache()
+
+
+def init_precomputed_generators(n: int):
+    if n > 0:
+        CACHE.get(n)
+
+
+def get_precomputed_generators(n: int, offset: int = 0) -> ed.PointP3:
+    return CACHE.get(n, offset)
+
+
+def one_commitment(n: int) -> ed.PointP3:
+    """Sum of the first n generators (reference cpu_one_commitments semantics:
+    the 'one commit' of length n)."""
+    if n == 0:
+        return ed.identity(())
+    gens = get_precomputed_generators(n)
+    return ed.tree_reduce(gens, n)
+
+
+def one_commitments(n: int) -> ed.PointP3:
+    """Prefix sums: out[i] = sum_{j<i} G_j, out[0] = identity; batch (n,)."""
+    if n == 0:
+        return ed.identity((0,))
+    gens = get_precomputed_generators(n)
+    inclusive = jax.lax.associative_scan(ed.add, gens, axis=1)
+    shifted = ed.PointP3(
+        *(
+            jnp.concatenate([c[:, :1] * 0, c[:, :-1]], axis=1)
+            for c in inclusive
+        )
+    )
+    ident = ed.identity((n,))
+    # slot 0 must be the identity (0,1,1,0), not zeroed limbs
+    return ed.PointP3(
+        *(
+            jnp.concatenate([ic[:, :1], sc[:, 1:]], axis=1)
+            for ic, sc in zip(ident, shifted)
+        )
+    )

@@ -12,3 +12,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the limb-arithmetic graphs are large and CPU
+# XLA compiles are slow; cache them across test runs.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
