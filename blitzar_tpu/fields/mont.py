@@ -1,0 +1,266 @@
+"""Generic Montgomery-form prime-field arithmetic, vectorized for TPU lanes.
+
+One parameterized implementation covers every Montgomery field in the library
+(the reference carries four hand-written copies: field25, field12, fieldgk,
+scalar25 — see reference sxt/field25/base/montgomery.h etc.):
+
+  - curve25519 scalar field (l = 2^252 + ...)
+  - bn254 base field Fp          (reference field25)
+  - bn254 scalar field Fr = Grumpkin base field (reference fieldgk)
+  - bls12-381 base field Fp      (reference field12)
+
+Representation: (nlimbs, *batch) uint32 arrays of 16-bit limbs, canonical in
+[0, m), Montgomery form (R = 2^(16*nlimbs)). TPUs have no 64-bit multiply, so
+the full product uses the same skewed outer-product schoolbook as fp25519 and
+the reduction is word-serial Montgomery with 16-bit digits (radix-2^16 CIOS
+reorganized for vector lanes; every op is full-batch-width).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+MASK = jnp.uint32(0xFFFF)
+
+
+class MontField:
+    def __init__(self, name: str, modulus: int, nlimbs: int):
+        assert modulus % 2 == 1
+        assert modulus < 1 << (16 * nlimbs)
+        self.name = name
+        self.modulus = modulus
+        self.nlimbs = nlimbs
+        self.radix_bits = 16 * nlimbs
+        self.r = (1 << self.radix_bits) % modulus
+        self.r2 = self.r * self.r % modulus
+        self.r3 = self.r2 * self.r % modulus
+        self.n0p = (-pow(modulus, -1, 1 << 16)) % (1 << 16)
+        self.mod_limbs = self._int_limbs(modulus)
+        self.nbytes = 2 * nlimbs
+
+    # -- host helpers --------------------------------------------------------
+
+    def _int_limbs(self, v: int) -> np.ndarray:
+        return np.array(
+            [(v >> (16 * i)) & 0xFFFF for i in range(self.nlimbs)], dtype=np.uint32
+        )
+
+    def from_ints(self, values) -> jnp.ndarray:
+        """Python ints -> Montgomery-form (nlimbs, n) device array."""
+        out = np.stack(
+            [self._int_limbs(int(v) % self.modulus * self.r % self.modulus) for v in values],
+            axis=1,
+        )
+        return jnp.asarray(out)
+
+    def to_ints(self, arr) -> list[int]:
+        """Montgomery-form (nlimbs, n) -> python ints (standard form)."""
+        std = np.asarray(self.from_mont(arr))
+        return [
+            sum(int(std[i, j]) << (16 * i) for i in range(self.nlimbs))
+            for j in range(std.shape[1])
+        ]
+
+    # -- constants ----------------------------------------------------------
+
+    def _const(self, v: int, batch_ndim: int) -> jnp.ndarray:
+        return jnp.asarray(self._int_limbs(v)).reshape(
+            (self.nlimbs,) + (1,) * batch_ndim
+        )
+
+    def zeros(self, batch_shape=()):
+        return jnp.zeros((self.nlimbs,) + tuple(batch_shape), dtype=jnp.uint32)
+
+    def one(self, batch_shape=()):
+        c = self._const(self.r, len(batch_shape))
+        return jnp.broadcast_to(c, (self.nlimbs,) + tuple(batch_shape))
+
+    # -- carry / compare helpers ---------------------------------------------
+
+    def _carry_rows(self, rows):
+        out = []
+        c = jnp.zeros_like(rows[0])
+        for i in range(len(rows)):
+            t = rows[i] + c
+            out.append(t & MASK)
+            c = t >> 16
+        return out, c
+
+    def _sub_borrow(self, rows, sub_limbs):
+        out = []
+        borrow = jnp.zeros_like(rows[0])
+        for i in range(self.nlimbs):
+            t = rows[i] + jnp.uint32(0x10000) - sub_limbs[i] - borrow
+            out.append(t & MASK)
+            borrow = jnp.uint32(1) - (t >> 16)
+        return out, borrow
+
+    def _cond_sub_m(self, rows, overflow):
+        """rows (nlimbs, canonical-limb), overflow in {0,1}: value may be in
+        [0, 2m); subtract m when overflow or rows >= m."""
+        mod_rows = [jnp.uint32(int(v)) for v in self.mod_limbs]
+        d, borrow = self._sub_borrow(rows, mod_rows)
+        take_d = (overflow == 1) | (borrow == 0)
+        return [jnp.where(take_d, dv, rv) for dv, rv in zip(d, rows)]
+
+    # -- ring ops -------------------------------------------------------------
+
+    def add(self, a, b):
+        rows, c = self._carry_rows(list(a + b))
+        return jnp.stack(self._cond_sub_m(rows, c))
+
+    def sub(self, a, b):
+        d, borrow = self._sub_borrow(list(a), list(b))
+        mod_rows = self._const(self.modulus, a.ndim - 1)
+        add_back = [dv + mv * borrow for dv, mv in zip(d, mod_rows)]
+        rows, _ = self._carry_rows(add_back)  # carry-out (the 2^radix) drops
+        return jnp.stack(rows)
+
+    def neg(self, a):
+        return self.sub(self.zeros(a.shape[1:]), a)
+
+    def _schoolbook(self, a, b):
+        """(2*nlimbs, *batch) accumulator rows of the full product, < 2^21."""
+        n = self.nlimbs
+        outer = a[:, None] * b[None, :]
+        lo = outer & MASK
+        hi = outer >> 16
+        batch = outer.shape[2:]
+
+        def skew(mat):
+            padded = jnp.concatenate(
+                [mat, jnp.zeros((n, n + 1) + batch, jnp.uint32)], axis=1
+            )
+            flat = padded.reshape((n * (2 * n + 1),) + batch)
+            return flat[: n * 2 * n].reshape((n, 2 * n) + batch)
+
+        acc = jnp.sum(skew(lo), axis=0, dtype=jnp.uint32)
+        acc_hi = jnp.sum(skew(hi), axis=0, dtype=jnp.uint32)
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((1,) + batch, jnp.uint32), acc_hi[:-1]]
+        )
+        return acc  # (2n, *batch); top hi (position 2n-1 from hi[n-1,n-1]) kept:
+        # hi row n-1 occupies skew columns n-1..2n-2, +1 shift => up to 2n-1. OK.
+
+    def _mont_reduce(self, acc_rows):
+        """(2n, *batch) product accumulators (rows < 2^22) -> T*R^-1 mod m,
+        canonical. Valid for any T < R^2 with T/R + m < 2^(radix+1)."""
+        n = self.nlimbs
+        batch = acc_rows.shape[1:]
+        acc = jnp.concatenate([acc_rows, jnp.zeros((1,) + batch, jnp.uint32)])
+        mod_arr = jnp.asarray(self.mod_limbs).reshape((n,) + (1,) * len(batch))
+        n0p = jnp.uint32(self.n0p)
+        for i in range(n):
+            u = ((acc[i] & MASK) * n0p) & MASK
+            prod = u[None] * mod_arr  # (n, *batch) exact 32-bit
+            acc = acc.at[i : i + n].add(prod & MASK)
+            acc = acc.at[i + 1 : i + n + 1].add(prod >> 16)
+            acc = acc.at[i + 1].add(acc[i] >> 16)
+        rows, c = self._carry_rows([acc[n + i] for i in range(n)])
+        # remaining top row (acc[2n]) + carry: tiny, fold into overflow
+        top = acc[2 * n] + c
+        # top is 0 or 1 (result < 2m < 2^(radix+1))
+        return jnp.stack(self._cond_sub_m(rows, top))
+
+    def mul(self, a, b):
+        """Montgomery product: a*b*R^-1 mod m (canonical inputs/outputs)."""
+        return self._mont_reduce(self._schoolbook(a, b))
+
+    def sq(self, a):
+        return self.mul(a, a)
+
+    # -- exponentiation -------------------------------------------------------
+
+    def pow_const(self, a, exponent: int):
+        """a^exponent (Montgomery in/out) via scan over the fixed bit string."""
+        bits = [int(bit) for bit in bin(exponent)[2:]]
+        bits_arr = jnp.asarray(np.array(bits, np.uint32))
+        one = self.one(a.shape[1:])
+
+        def step(acc, bit):
+            acc = self.sq(acc)
+            acc = jnp.where(bit.astype(jnp.bool_), self.mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = lax.scan(step, one, bits_arr)
+        return acc
+
+    def inv(self, a):
+        """a^(m-2); 0 -> 0."""
+        return self.pow_const(a, self.modulus - 2)
+
+    def sqrt_3mod4(self, a):
+        """Square root for m == 3 (mod 4): a^((m+1)/4). Caller checks validity."""
+        assert self.modulus % 4 == 3
+        return self.pow_const(a, (self.modulus + 1) // 4)
+
+    # -- predicates / conversion ----------------------------------------------
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def cmov(self, a, b, cond):
+        return jnp.where(cond[None].astype(jnp.bool_), b, a)
+
+    def to_mont(self, a_std):
+        r2 = jnp.broadcast_to(
+            self._const(self.r2, a_std.ndim - 1),
+            a_std.shape,
+        )
+        return self.mul(a_std, r2)
+
+    def from_mont(self, a):
+        one_std = jnp.broadcast_to(self._const(1, a.ndim - 1), a.shape)
+        return self.mul(a, one_std)
+
+    def from_bytes_le(self, b):
+        """(nbytes_in, *batch) uint8 LE -> Montgomery form; any value up to
+        2^radix is fully reduced (Montgomery-reduce first, then scale by R^3:
+        std*R^-1 * R^3 * R^-1 = std*R)."""
+        b = b.astype(jnp.uint32)
+        nb = b.shape[0]
+        batch = b.shape[1:]
+        if nb < self.nbytes:
+            b = jnp.concatenate([b, jnp.zeros((self.nbytes - nb,) + batch, jnp.uint32)])
+        pairs = b[: self.nbytes].reshape((self.nlimbs, 2) + batch)
+        std = pairs[:, 0] | (pairs[:, 1] << 8)
+        reduced = self._mont_reduce(
+            jnp.concatenate([std, jnp.zeros_like(std)])
+        )  # = std * R^-1 mod m, canonical
+        r3 = jnp.broadcast_to(self._const(self.r3, len(batch)), std.shape)
+        return self.mul(reduced, r3)
+
+    def to_bytes_le(self, a):
+        """Montgomery form -> (nbytes, *batch) uint8 canonical little-endian."""
+        std = self.from_mont(a)
+        lo = (std & jnp.uint32(0xFF)).astype(jnp.uint8)
+        hi = ((std >> 8) & jnp.uint32(0xFF)).astype(jnp.uint8)
+        return jnp.stack([lo, hi], axis=1).reshape((self.nbytes,) + a.shape[1:])
+
+    # -- reductions ------------------------------------------------------------
+
+    def tree_sum(self, a, axis_size: int):
+        """Sum along the LAST batch axis by halving (zero-padded)."""
+        cur = a
+        size = axis_size
+        while size > 1:
+            if size % 2 == 1:
+                cur = jnp.concatenate(
+                    [cur, self.zeros(cur.shape[1:-1] + (1,))], axis=-1
+                )
+                size += 1
+            cur = self.add(cur[..., 0:size:2], cur[..., 1:size:2])
+            size //= 2
+        return cur[..., 0]
+
+    def inner_product(self, a, b, n: int):
+        """<a, b> over the last batch axis (Montgomery in/out)."""
+        return self.tree_sum(self.mul(a, b), n)

@@ -1,22 +1,27 @@
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must run before jax is imported anywhere.
+# exercised without TPU hardware.
+#
+# NOTE: this environment preloads jax and registers a TPU backend in
+# sitecustomize, so plain env vars are too late — force the platform through
+# jax.config before any backend is instantiated.
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-# Persistent compilation cache: the limb-arithmetic graphs are large and CPU
-# XLA compiles are slow; cache them across test runs.
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the limb-arithmetic graphs are large and
+# XLA compiles are slow; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
