@@ -20,8 +20,26 @@ import numpy as np
 from . import generators as _gen
 from .curves import edwards25519 as ed
 from .curves import ristretto as rst
+from .curves import weierstrass as wc
 from .msm import engine as _engine
+from .msm import fixed as _fixed
 from .msm import sharded as _sharded
+
+# curve ids (reference blitzar_api.h:28-31)
+SXT_CURVE_RISTRETTO255 = 0
+SXT_CURVE_BLS_381 = 1
+SXT_CURVE_BN_254 = 2
+SXT_CURVE_GRUMPKIN = 3
+# field ids (reference blitzar_api.h:33-34)
+SXT_FIELD_SCALAR255 = 0
+SXT_FIELD_GRUMPKIN = 1
+
+CURVES = {
+    SXT_CURVE_RISTRETTO255: ed,
+    SXT_CURVE_BLS_381: wc.BLS12381_G1,
+    SXT_CURVE_BN_254: wc.BN254_G1,
+    SXT_CURVE_GRUMPKIN: wc.GRUMPKIN,
+}
 
 log = logging.getLogger("blitzar_tpu")
 _level = os.environ.get("BLITZAR_TPU_LOG_LEVEL", "error").upper()
@@ -155,3 +173,165 @@ def compute_curve25519_commitments(
     else:
         result = _engine.msm(generators, data_list, nbytes_list, signed_list)
     return compress_ristretto255(result)
+
+
+def _generic_commitments(descriptors, generators, curve):
+    _ensure_init()
+    descriptors = list(descriptors)
+    if not descriptors:
+        return curve.identity((0,))
+    data_list = [d.rows() for d in descriptors]
+    nbytes_list = [d.element_nbytes for d in descriptors]
+    signed_list = [bool(d.is_signed) for d in descriptors]
+    if _BACKEND.mesh is not None and _BACKEND.mesh.size > 1:
+        return _sharded.msm(
+            _BACKEND.mesh, generators, data_list, nbytes_list, signed_list, curve=curve
+        )
+    return _engine.msm(generators, data_list, nbytes_list, signed_list, curve=curve)
+
+
+def _affine_struct(curve, points):
+    """Batched projective -> structured array mirroring the reference's
+    uncompressed affine output structs (sxt_bn254_g1 / sxt_grumpkin,
+    blitzar_api.h:87-106): Montgomery x/y limb bytes + infinity flag; the
+    identity maps to x = y = 0 with infinity set."""
+    x_mont, y_mont, inf = curve.to_affine(points)
+    F = curve.field
+    inf_np = np.asarray(inf)
+    # identity: zero out x/y (to_affine already yields 0 via inv(0) = 0)
+    out = np.zeros(
+        inf_np.shape[0],
+        dtype=[("x", np.uint8, F.nbytes), ("y", np.uint8, F.nbytes), ("infinity", np.uint8)],
+    )
+    out["x"] = np.asarray(F.to_bytes_le(x_mont)).T
+    out["y"] = np.asarray(F.to_bytes_le(y_mont)).T
+    out["infinity"] = inf_np.astype(np.uint8)
+    out["x"][inf_np] = 0
+    out["y"][inf_np] = 0
+    return out
+
+
+def compute_bls12_381_g1_commitments_with_generators(descriptors, generators) -> np.ndarray:
+    """-> (num_sequences, 48) uint8 zcash-compressed G1 (reference
+    sxt_bls12_381_g1_compute_pedersen_commitments_with_generators,
+    blitzar_api.h:324)."""
+    result = _generic_commitments(descriptors, generators, wc.BLS12381_G1)
+    return wc.compress_bls12_381(result)
+
+
+def compute_bn254_g1_uncompressed_commitments_with_generators(descriptors, generators):
+    """-> structured (x, y, infinity) affine array (reference
+    sxt_bn254_g1_uncompressed_compute_pedersen_commitments_with_generators,
+    blitzar_api.h:364)."""
+    result = _generic_commitments(descriptors, generators, wc.BN254_G1)
+    return _affine_struct(wc.BN254_G1, result)
+
+
+def compute_grumpkin_uncompressed_commitments_with_generators(descriptors, generators):
+    """Reference blitzar_api.h:404."""
+    result = _generic_commitments(descriptors, generators, wc.GRUMPKIN)
+    return _affine_struct(wc.GRUMPKIN, result)
+
+
+# ---------------------------------------------------------------------------
+# fixed-generator multiexponentiation handles (reference blitzar_api.h:631-752)
+# ---------------------------------------------------------------------------
+
+
+def multiexp_handle_new(curve_id: int, generators, n: int | None = None):
+    """Reference sxt_multiexp_handle_new (blitzar_api.h:631)."""
+    _ensure_init()
+    return _fixed.MultiexpHandle(generators, curve=CURVES[curve_id], n=n)
+
+
+def multiexp_handle_new_from_file(curve_id: int, filename: str):
+    """Reference sxt_multiexp_handle_new_from_file (blitzar_api.h:641)."""
+    _ensure_init()
+    return _fixed.MultiexpHandle.new_from_file(filename, curve=CURVES[curve_id])
+
+
+def multiexp_handle_write_to_file(handle, filename: str) -> None:
+    """Reference sxt_multiexp_handle_write_to_file (blitzar_api.h:649)."""
+    handle.write_to_file(filename)
+
+
+def fixed_multiexponentiation(handle, scalars):
+    """Reference sxt_fixed_multiexponentiation (blitzar_api.h:685).
+    scalars: (num_outputs, n, element_num_bytes) uint8. Returns a point batch
+    of the handle's curve."""
+    _ensure_init()
+    return _fixed.fixed_multiexponentiation(handle, scalars)
+
+
+def fixed_packed_multiexponentiation(handle, output_bit_table, n: int, scalars):
+    """Reference sxt_fixed_packed_multiexponentiation (blitzar_api.h:712)."""
+    _ensure_init()
+    return _fixed.fixed_packed_multiexponentiation(handle, output_bit_table, n, scalars)
+
+
+def fixed_vlen_multiexponentiation(handle, output_bit_table, output_lengths, scalars):
+    """Reference sxt_fixed_vlen_multiexponentiation (blitzar_api.h:741)."""
+    _ensure_init()
+    return _fixed.fixed_vlen_multiexponentiation(
+        handle, output_bit_table, output_lengths, scalars
+    )
+
+
+# ---------------------------------------------------------------------------
+# inner-product argument (reference blitzar_api.h:566-631)
+# ---------------------------------------------------------------------------
+
+
+def prove_inner_product(transcript, n: int, generators_offset: int, a_vector, b_vector):
+    """Reference sxt_curve25519_prove_inner_product (blitzar_api.h:566):
+    G = precomputed generators[offset .. offset+np], Q = generators[offset+np].
+    Returns (l_vector (rounds, 32), r_vector (rounds, 32), ap_value int)."""
+    _ensure_init()
+    from .proof import inner_product as _ipa
+
+    np_ = 1 << _ipa.ceil_log2(n)
+    g_vector = _gen.get_precomputed_generators(np_, generators_offset)
+    q_value = _gen.get_precomputed_generators(1, generators_offset + np_)
+    return _ipa.prove_inner_product(transcript, a_vector, b_vector, g_vector, q_value)
+
+
+def verify_inner_product(
+    transcript, n: int, generators_offset: int, b_vector, product, a_commit,
+    l_vector, r_vector, ap_value,
+) -> bool:
+    """Reference sxt_curve25519_verify_inner_product (blitzar_api.h:611)."""
+    _ensure_init()
+    from .proof import inner_product as _ipa
+
+    np_ = 1 << _ipa.ceil_log2(n)
+    g_vector = _gen.get_precomputed_generators(np_, generators_offset)
+    q_value = _gen.get_precomputed_generators(1, generators_offset + np_)
+    return _ipa.verify_inner_product(
+        transcript, b_vector, product, a_commit, l_vector, r_vector, ap_value,
+        g_vector, q_value,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sumcheck (reference blitzar_api.h:766)
+# ---------------------------------------------------------------------------
+
+
+def prove_sumcheck(
+    field_id: int, mles, product_table, product_terms, n: int, transcript=None,
+    challenge_callback=None,
+):
+    """Reference sxt_prove_sumcheck (blitzar_api.h:766). Either pass a Merlin
+    `transcript` (reference_transcript semantics) or a `challenge_callback`
+    (the C callback flavor). Returns (round_polynomials, evaluation_point)."""
+    _ensure_init()
+    from .proof import sumcheck as _sc
+
+    codec = (
+        _sc.SCALAR25519_CODEC if field_id == SXT_FIELD_SCALAR255 else _sc.FIELDGK_CODEC
+    )
+    if challenge_callback is not None:
+        tr = _sc.CallbackSumcheckTranscript(challenge_callback)
+    else:
+        tr = _sc.ReferenceSumcheckTranscript(transcript, codec)
+    return _sc.prove_sum(tr, mles, product_table, product_terms, n, codec)

@@ -35,9 +35,16 @@ class PointP3(NamedTuple):
 
 D2_INT = (2 * _D_INT) % (2**255 - 19)
 
+# curve-protocol attributes (shared with curves/weierstrass.py's WCurve) so
+# the MSM engine can take this module itself as its static `curve` argument
+Point = PointP3
+make_point = PointP3
+coord_count = 4
+nlimbs = F.NLIMBS
+name = "curve25519"
 
-def _d2(batch_ndim: int):
-    return F.from_int_const(D2_INT, (1,) * batch_ndim)
+
+
 
 
 def identity(batch_shape=()) -> PointP3:
@@ -46,11 +53,11 @@ def identity(batch_shape=()) -> PointP3:
     return PointP3(zero, one, one, zero)
 
 
-def add(p: PointP3, q: PointP3) -> PointP3:
+def _add_impl(p: PointP3, q: PointP3) -> PointP3:
     """Unified twisted-Edwards addition (add-2008-hwcd-3, a = -1)."""
     a = F.mul(F.sub(p.y, p.x), F.sub(q.y, q.x))
     b = F.mul(F.add(p.y, p.x), F.add(q.y, q.x))
-    c = F.mul(F.mul(p.t, q.t), _d2(max(p.x.ndim, q.x.ndim) - 1))
+    c = F.mul_const(F.mul(p.t, q.t), D2_INT)
     d = F.mul_small(F.mul(p.z, q.z), 2)
     e = F.sub(b, a)
     f = F.sub(d, c)
@@ -59,7 +66,7 @@ def add(p: PointP3, q: PointP3) -> PointP3:
     return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
 
 
-def double(p: PointP3) -> PointP3:
+def _double_impl(p: PointP3) -> PointP3:
     a = F.sq(p.x)
     b = F.sq(p.y)
     c = F.mul_small(F.sq(p.z), 2)
@@ -68,6 +75,36 @@ def double(p: PointP3) -> PointP3:
     g = F.sub(a, b)
     f = F.add(c, g)
     return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
+def _batch_lanes(p: PointP3) -> int:
+    n = 1
+    for d in p.x.shape[1:]:
+        n *= int(d)
+    return n
+
+
+def add(p: PointP3, q: PointP3) -> PointP3:
+    """Dispatch: Pallas kernel on TPU for large equal-shape batches (one
+    Mosaic-compiled body instead of ~10^4 inlined HLO ops per add — see
+    ops/pallas_point.py), plain jnp otherwise."""
+    from ..ops import pallas_point as pp
+
+    if (
+        p.x.shape == q.x.shape
+        and _batch_lanes(p) >= pp.MIN_LANES
+        and pp.use_pallas()
+    ):
+        return pp.add(p, q)
+    return _add_impl(p, q)
+
+
+def double(p: PointP3) -> PointP3:
+    from ..ops import pallas_point as pp
+
+    if _batch_lanes(p) >= pp.MIN_LANES and pp.use_pallas():
+        return pp.double(p)
+    return _double_impl(p)
 
 
 def neg(p: PointP3) -> PointP3:

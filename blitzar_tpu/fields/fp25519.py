@@ -11,20 +11,31 @@ return arrays satisfying the invariant. TPUs have no 64-bit integer multiply,
 so products are formed as 16x16->32-bit partials with immediate lo/hi
 splitting; accumulator bounds are commented at each step.
 
-The schoolbook product is computed as ONE (16, 16, batch) elementwise
-multiply plus a pad/reshape realignment (a Toeplitz skew: OUT[i, k] =
-P[i, k-i] == reshape(flatten(pad(P, 17)))[:, :32]), rather than 256 separate
-scalar-limb ops — this keeps both the HLO graph and the VPU schedule dense.
+Two product formulations, selected by ``diag_mode``:
+
+- default (XLA graphs): ONE (16, 16, batch) outer product + Toeplitz-skew
+  realignment — ~80 HLO ops per multiply, so full protocol graphs
+  (inversion chains, MSM trees) compile in seconds.
+- ``with diag_mode():`` (inside Pallas kernel bodies only): a diagonal
+  accumulation of 256 scalar-limb partials — no materialized outer product,
+  every intermediate stays in VMEM/registers, and Mosaic (unlike XLA) digests
+  the unrolled form. Constants are Python-int immediates in this mode because
+  Pallas rejects captured device arrays.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import jax.numpy as jnp
 from jax import lax
 
 NLIMBS = 16
 LIMB_BITS = 16
-MASK = jnp.uint32(0xFFFF)
+# NOTE: constants are Python ints (inlined as immediates), NOT jnp arrays —
+# captured jnp constants are rejected inside Pallas kernel bodies
+# (ops/pallas_point.py routes the group law through these functions).
+MASK = 0xFFFF
 
 # p = 2^255 - 19 as 16-bit limbs.
 P_LIMBS = (0xFFED,) + (0xFFFF,) * 14 + (0x7FFF,)
@@ -54,9 +65,9 @@ def _carry_pass(limbs):
     """Sequential carry propagation. Input rows may be up to 2^31; output rows
     are < 2^16 with the radix-2^16 carry returned (carry <= 2^16)."""
     out = []
-    c = jnp.zeros_like(limbs[0])
+    c = None
     for i in range(NLIMBS):
-        t = limbs[i] + c
+        t = limbs[i] if c is None else limbs[i] + c
         out.append(t & MASK)
         c = t >> LIMB_BITS
     return out, c
@@ -67,71 +78,165 @@ def _finalize(limbs):
     invariant (limbs < 2^16, value < 2^256), folding 2^256 == 38 (mod p)."""
     out, c = _carry_pass(limbs)
     # c <= 2^16 so 38*c <= 2^21.3; value now < 2^256 + 2^22.
-    out[0] = out[0] + jnp.uint32(38) * c
+    out[0] = out[0] + c * 38
     out, c2 = _carry_pass(out)
     # c2 in {0, 1}; if c2 == 1 the remaining value is < 2^22, so only limbs
     # 0..1 are nonzero and the fold below cannot cascade past limb 1.
-    t = out[0] + jnp.uint32(38) * c2
+    t = out[0] + c2 * 38
     out[0] = t & MASK
     out[1] = out[1] + (t >> LIMB_BITS)
     return jnp.stack(out)
 
 
 def add(a, b):
-    return _finalize(list(a + b))
+    return _finalize([a[i] + b[i] for i in range(NLIMBS)])
 
 
 def sub(a, b):
     # a + 4p - b: each row in [0, 2^17 + 2^16), no borrow.
-    fourp = _const(FOURP_LIMBS, a.ndim - 1)
-    return _finalize(list(a + fourp - b))
+    return _finalize([a[i] + FOURP_LIMBS[i] - b[i] for i in range(NLIMBS)])
 
 
 def neg(a):
-    fourp = _const(FOURP_LIMBS, a.ndim - 1)
-    return _finalize(list(fourp - a))
+    return _finalize([FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)])
 
 
-def _schoolbook(a, b):
-    """32 accumulator rows of the 256-bit x 256-bit product, each < 2^21."""
+_DIAG = [False]
+
+
+@contextlib.contextmanager
+def diag_mode():
+    """Trace-time switch to the Pallas-friendly diagonal limb product (used
+    by ops/pallas_point.py while tracing kernel bodies)."""
+    _DIAG.append(True)
+    try:
+        yield
+    finally:
+        _DIAG.pop()
+
+
+def _schoolbook_skew(a, b):
+    """(32, *batch) accumulator rows via one outer product + Toeplitz skew
+    (OUT[i, k] = P[i, k-i]); compile-friendly for XLA graphs."""
     outer = a[:, None] * b[None, :]  # (16, 16, *batch); exact in uint32
     lo = outer & MASK
     hi = outer >> LIMB_BITS
     batch = outer.shape[2:]
 
     def skew(mat):
-        # OUT[i, k] = mat[i, k - i] (zeros elsewhere): pad rows to width 33,
-        # flatten, re-slice with stride 32.
         padded = jnp.concatenate(
             [mat, jnp.zeros((NLIMBS, NLIMBS + 1) + batch, jnp.uint32)], axis=1
         )
         flat = padded.reshape((NLIMBS * 33,) + batch)
         return flat[: NLIMBS * 32].reshape((NLIMBS, 32) + batch)
 
-    acc = jnp.sum(skew(lo), axis=0, dtype=jnp.uint32)  # (32, *batch), <= 16*2^16
+    acc = jnp.sum(skew(lo), axis=0, dtype=jnp.uint32)  # <= 16*2^16 per row
     acc_hi = jnp.sum(skew(hi), axis=0, dtype=jnp.uint32)
-    # hi parts land one limb higher.
     acc = acc + jnp.concatenate([jnp.zeros((1,) + batch, jnp.uint32), acc_hi[:-1]])
-    # acc[31] high part: hi of (15,15) product is acc_hi[30] -> acc[31]; the
-    # only contribution beyond index 31 would be acc_hi[31], which is zero
-    # (lo row 15 occupies columns 15..30, so column 31 of the skew is empty).
+    return acc
+
+
+def _mul_skew(a, b):
+    acc = _schoolbook_skew(a, b)
+    lo = acc[:NLIMBS] + acc[NLIMBS:] * jnp.uint32(38)
+    return _finalize(list(lo))
+
+
+def _schoolbook(a, b):
+    """32 accumulator rows of the 256-bit x 256-bit product, each < 2^21.
+
+    Diagonal (anti-banded) accumulation: acc[k] = sum_{i+j==k} lo(a_i*b_j)
+    + sum_{i+j==k-1} hi(a_i*b_j). Every intermediate is a (*batch,)-shaped
+    elementwise value, so XLA fuses the whole product into one loop — no
+    (16, 16, batch) outer-product or pad/reshape materialization (those cost
+    ~16x the operand size in HBM traffic per multiply)."""
+    a_rows = [a[i] for i in range(NLIMBS)]
+    b_rows = [b[j] for j in range(NLIMBS)]
+    acc = [None] * (2 * NLIMBS)
+    for i in range(NLIMBS):
+        ai = a_rows[i]
+        for j in range(NLIMBS):
+            p = ai * b_rows[j]  # exact in uint32 (both < 2^16)
+            k = i + j
+            lo = p & MASK
+            hi = p >> LIMB_BITS
+            acc[k] = lo if acc[k] is None else acc[k] + lo
+            acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+    # each row accumulates <= 32 terms < 2^16 -> < 2^21
+    return acc  # list of 32 rows
+
+
+def _schoolbook_sq(a):
+    """Squaring: off-diagonal products counted once and doubled
+    (~halves the multiply count vs _schoolbook)."""
+    a_rows = [a[i] for i in range(NLIMBS)]
+    acc = [None] * (2 * NLIMBS)
+
+    def put(k, v):
+        acc[k] = v if acc[k] is None else acc[k] + v
+
+    for i in range(NLIMBS):
+        p = a_rows[i] * a_rows[i]
+        put(2 * i, p & MASK)
+        put(2 * i + 1, p >> LIMB_BITS)
+        for j in range(i + 1, NLIMBS):
+            p = a_rows[i] * a_rows[j]
+            # doubled cross term: 2*p < 2^33 would overflow; split first.
+            lo = (p & MASK) << 1  # < 2^17
+            hi = (p >> LIMB_BITS) << 1
+            put(i + j, lo)
+            put(i + j + 1, hi)
+    # rows accumulate <= 32 terms < 2^17 -> < 2^22 (still fine: mul folds to
+    # < 2^28 and _finalize tolerates rows up to 2^31)
     return acc
 
 
 def mul(a, b):
+    if not _DIAG[-1]:
+        return _mul_skew(a, b)
     acc = _schoolbook(a, b)
-    # Fold 2^256 == 38: rows < 2^21 + 38*2^21 < 2^27.
-    lo = acc[:NLIMBS] + jnp.uint32(38) * acc[NLIMBS:]
-    return _finalize(list(lo))
+    # Fold 2^256 == 38: rows < 2^22 + 38*2^22 < 2^28.
+    lo = [acc[i] + acc[NLIMBS + i] * 38 for i in range(NLIMBS)]
+    return _finalize(lo)
 
 
 def sq(a):
-    return mul(a, a)
+    if not _DIAG[-1]:
+        return _mul_skew(a, a)
+    acc = _schoolbook_sq(a)
+    lo = [acc[i] + acc[NLIMBS + i] * 38 for i in range(NLIMBS)]
+    return _finalize(lo)
+
+
+def mul_const(a, value: int):
+    """Multiply by a fixed field constant given as a Python int — in diag
+    mode the limbs are inlined as scalar immediates (Pallas-safe)."""
+    if not _DIAG[-1]:
+        return _mul_skew(a, from_int_const(value, a.shape[1:]))
+    value %= 2**256
+    c_limbs = [(value >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
+    a_rows = [a[i] for i in range(NLIMBS)]
+    acc = [None] * (2 * NLIMBS)
+    for i in range(NLIMBS):
+        ci = c_limbs[i]
+        if ci == 0:
+            continue
+        for j in range(NLIMBS):
+            p = a_rows[j] * ci
+            k = i + j
+            lo = p & MASK
+            hi = p >> LIMB_BITS
+            acc[k] = lo if acc[k] is None else acc[k] + lo
+            acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+    zero_like = a_rows[0] - a_rows[0]
+    acc = [zero_like if r is None else r for r in acc]
+    lo = [acc[i] + acc[NLIMBS + i] * 38 for i in range(NLIMBS)]
+    return _finalize(lo)
 
 
 def mul_small(a, k: int):
     """Multiply by a small constant (k < 2^15)."""
-    return _finalize(list(a * jnp.uint32(k)))
+    return _finalize([a[i] * k for i in range(NLIMBS)])
 
 
 def pow2k(a, k: int):
@@ -170,11 +275,13 @@ def pow22523(a):
 def _sub_borrow(a_rows, b_limbs):
     """(a - b) mod 2^256 limbwise with borrow chain; returns (rows, borrow)."""
     out = []
-    borrow = jnp.zeros_like(a_rows[0])
+    borrow = None
     for i in range(NLIMBS):
-        t = a_rows[i] + jnp.uint32(0x10000) - jnp.uint32(b_limbs[i]) - borrow
+        t = a_rows[i] + (0x10000 - b_limbs[i])
+        if borrow is not None:
+            t = t - borrow
         out.append(t & MASK)
-        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+        borrow = 1 - (t >> LIMB_BITS)
     return out, borrow
 
 
@@ -191,7 +298,7 @@ def canonicalize(a):
 
 def is_negative(a):
     """Canonical-parity sign bit (lsb of the canonical encoding)."""
-    return canonicalize(a)[0] & jnp.uint32(1)
+    return canonicalize(a)[0] & 1
 
 
 def is_zero(a):
@@ -230,5 +337,5 @@ def from_bytes(b):
     b = b.astype(jnp.uint32)
     pairs = b.reshape((NLIMBS, 2) + b.shape[1:])
     limbs = pairs[:, 0] | (pairs[:, 1] << 8)
-    limbs = limbs.at[NLIMBS - 1].set(limbs[NLIMBS - 1] & jnp.uint32(0x7FFF))
+    limbs = limbs.at[NLIMBS - 1].set(limbs[NLIMBS - 1] & 0x7FFF)
     return limbs

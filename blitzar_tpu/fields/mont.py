@@ -18,6 +18,7 @@ reorganized for vector lanes; every op is full-batch-width).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -26,6 +27,18 @@ import numpy as np
 from jax import lax
 
 MASK = jnp.uint32(0xFFFF)
+
+_DIAG = [False]
+
+
+@contextlib.contextmanager
+def diag_mode():
+    """Trace-time switch to the Pallas-friendly diagonal limb product."""
+    _DIAG.append(True)
+    try:
+        yield
+    finally:
+        _DIAG.pop()
 
 
 class MontField:
@@ -124,8 +137,10 @@ class MontField:
     def neg(self, a):
         return self.sub(self.zeros(a.shape[1:]), a)
 
-    def _schoolbook(self, a, b):
-        """(2*nlimbs, *batch) accumulator rows of the full product, < 2^21."""
+    def _schoolbook_skew(self, a, b):
+        """(2n, *batch) accumulator rows via one outer product + Toeplitz
+        skew — few HLO ops, so XLA graphs with many multiplies (Weierstrass
+        MSM trees, inversion chains) compile quickly."""
         n = self.nlimbs
         outer = a[:, None] * b[None, :]
         lo = outer & MASK
@@ -144,13 +159,63 @@ class MontField:
         acc = acc + jnp.concatenate(
             [jnp.zeros((1,) + batch, jnp.uint32), acc_hi[:-1]]
         )
-        return acc  # (2n, *batch); top hi (position 2n-1 from hi[n-1,n-1]) kept:
-        # hi row n-1 occupies skew columns n-1..2n-2, +1 shift => up to 2n-1. OK.
+        return [acc[i] for i in range(2 * n)]
+
+    def _schoolbook(self, a, b):
+        """2*nlimbs accumulator rows (python list) of the full product, each
+        < 2^22. Diagonal accumulation (used under diag_mode, e.g. in future
+        Pallas kernel bodies): every intermediate is (*batch,)-shaped and
+        elementwise — no outer-product materialization, but ~n^2 HLO ops,
+        which only Mosaic compiles quickly."""
+        if not _DIAG[-1]:
+            return self._schoolbook_skew(a, b)
+        n = self.nlimbs
+        a_rows = [a[i] for i in range(n)]
+        b_rows = [b[j] for j in range(n)]
+        acc = [None] * (2 * n)
+        for i in range(n):
+            ai = a_rows[i]
+            for j in range(n):
+                p = ai * b_rows[j]  # exact in uint32
+                k = i + j
+                lo = p & MASK
+                hi = p >> 16
+                acc[k] = lo if acc[k] is None else acc[k] + lo
+                acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+        return acc  # list of 2n rows
 
     def _mont_reduce(self, acc_rows):
-        """(2n, *batch) product accumulators (rows < 2^22) -> T*R^-1 mod m,
-        canonical. Valid for any T < R^2 with T/R + m < 2^(radix+1)."""
+        """2n accumulator rows (list, each < 2^22, or a (2n, *batch) array)
+        -> T*R^-1 mod m, canonical. Valid for any T < R^2 with
+        T/R + m < 2^(radix+1). Word-serial CIOS over python-list rows so the
+        whole reduction stays one fused elementwise chain."""
         n = self.nlimbs
+        if not _DIAG[-1]:
+            return self._mont_reduce_array(acc_rows)
+        if not isinstance(acc_rows, list):
+            acc_rows = [acc_rows[i] for i in range(acc_rows.shape[0])]
+        zero = jnp.zeros_like(acc_rows[0])
+        acc = list(acc_rows) + [zero]
+        mod_rows = [jnp.uint32(int(v)) for v in self.mod_limbs]
+        n0p = jnp.uint32(self.n0p)
+        for i in range(n):
+            u = ((acc[i] & MASK) * n0p) & MASK
+            for j in range(n):
+                prod = u * mod_rows[j]  # exact 32-bit
+                acc[i + j] = acc[i + j] + (prod & MASK)
+                acc[i + j + 1] = acc[i + j + 1] + (prod >> 16)
+            acc[i + 1] = acc[i + 1] + (acc[i] >> 16)
+        rows, c = self._carry_rows(acc[n : 2 * n])
+        # remaining top row (acc[2n]) + carry: 0 or 1 (result < 2m)
+        top = acc[2 * n] + c
+        return jnp.stack(self._cond_sub_m(rows, top))
+
+    def _mont_reduce_array(self, acc_rows):
+        """Array-form word-serial Montgomery reduction (few HLO ops per step
+        via sliced .at-updates) — the XLA-graph default."""
+        n = self.nlimbs
+        if isinstance(acc_rows, list):
+            acc_rows = jnp.stack(acc_rows)
         batch = acc_rows.shape[1:]
         acc = jnp.concatenate([acc_rows, jnp.zeros((1,) + batch, jnp.uint32)])
         mod_arr = jnp.asarray(self.mod_limbs).reshape((n,) + (1,) * len(batch))
@@ -162,9 +227,7 @@ class MontField:
             acc = acc.at[i + 1 : i + n + 1].add(prod >> 16)
             acc = acc.at[i + 1].add(acc[i] >> 16)
         rows, c = self._carry_rows([acc[n + i] for i in range(n)])
-        # remaining top row (acc[2n]) + carry: tiny, fold into overflow
-        top = acc[2 * n] + c
-        # top is 0 or 1 (result < 2m < 2^(radix+1))
+        top = acc[2 * n] + c  # 0 or 1 (result < 2m)
         return jnp.stack(self._cond_sub_m(rows, top))
 
     def mul(self, a, b):

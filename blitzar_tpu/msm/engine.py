@@ -56,14 +56,15 @@ def digit_decompose(scalars_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def bucket_accumulate(
-    points: ed.PointP3,
+    points,
     digits: jnp.ndarray,
     signs: jnp.ndarray,
     capacity: int,
-) -> ed.PointP3:
+    curve=ed,
+):
     """Partial bucket sums.
 
-    points: PointP3 with batch (n,)
+    points: curve point batch (n,)
     digits: (R, n) int32 in [0, 255]; R = num_outputs * num_windows
     signs:  (R, n) uint32, 1 = negate the point's contribution
     returns PointP3 with batch (R, NUM_BUCKETS): S[r, k] = sum over
@@ -84,7 +85,7 @@ def bucket_accumulate(
         (jnp.max(ends - starts) + jnp.int32(capacity - 1)) // jnp.int32(capacity),
     )
 
-    ident = ed.identity((r_rows, NUM_BUCKETS))
+    ident = curve.identity((r_rows, NUM_BUCKETS))
     offs = jnp.arange(capacity, dtype=jnp.int32)
 
     def body(state):
@@ -97,14 +98,16 @@ def bucket_accumulate(
         ).reshape(r_rows, NUM_BUCKETS, capacity)
         # mode="clip": invalid slots may reference padding indices beyond the
         # point batch; their gathers are discarded by the select below.
-        gathered = ed.PointP3(*(jnp.take(c, src, axis=1, mode="clip") for c in points))
+        gathered = curve.make_point(*(jnp.take(c, src, axis=1, mode="clip") for c in points))
         sign_g = jnp.take_along_axis(
             signs, src.reshape(r_rows, -1), axis=1, mode="clip"
         ).reshape(r_rows, NUM_BUCKETS, capacity)
-        gathered = ed.cneg(gathered, sign_g == 1)
-        gathered = ed.select(ed.identity((r_rows, NUM_BUCKETS, capacity)), gathered, valid)
-        partial = ed.tree_reduce(gathered, capacity)
-        return rnd + 1, ed.add(acc, partial)
+        gathered = curve.cneg(gathered, sign_g == 1)
+        gathered = curve.select(
+            curve.identity((r_rows, NUM_BUCKETS, capacity)), gathered, valid
+        )
+        partial = curve.tree_reduce(gathered, capacity)
+        return rnd + 1, curve.add(acc, partial)
 
     _, acc = lax.while_loop(
         lambda s: s[0] < num_rounds, body, (jnp.int32(0), ident)
@@ -112,24 +115,26 @@ def bucket_accumulate(
     return acc
 
 
-def combine_buckets(bucket_sums: ed.PointP3, num_outputs: int, num_windows: int) -> ed.PointP3:
+def combine_buckets(bucket_sums, num_outputs: int, num_windows: int, curve=ed):
     """(O*W, 255) bucket sums -> (O,) results.
 
     Triangle sum per window (sum_b b*S_b via reverse scan), then Horner over
     windows with 8 doublings per step.
     """
     # leaves are (16, R, 255): axis 2 is the bucket axis
-    suffix = lax.associative_scan(ed.add, bucket_sums, reverse=True, axis=2)
-    window_sums = ed.tree_reduce(suffix, NUM_BUCKETS)  # (O*W,)
-    w = ed.reshape_batch(window_sums, (num_outputs, num_windows))
+    suffix = lax.associative_scan(curve.add, bucket_sums, reverse=True, axis=2)
+    window_sums = curve.tree_reduce(suffix, NUM_BUCKETS)  # (O*W,)
+    w = curve.reshape_batch(window_sums, (num_outputs, num_windows))
 
     def step(i, acc):
-        acc = lax.fori_loop(0, 8, lambda _, a: ed.double(a), acc)
+        acc = lax.fori_loop(0, 8, lambda _, a: curve.double(a), acc)
         idx = num_windows - 2 - i
-        wi = ed.PointP3(*(lax.dynamic_index_in_dim(c, idx, axis=2, keepdims=False) for c in w))
-        return ed.add(acc, wi)
+        wi = curve.make_point(
+            *(lax.dynamic_index_in_dim(c, idx, axis=2, keepdims=False) for c in w)
+        )
+        return curve.add(acc, wi)
 
-    acc0 = ed.PointP3(*(c[:, :, num_windows - 1] for c in w))
+    acc0 = curve.make_point(*(c[:, :, num_windows - 1] for c in w))
     if num_windows == 1:
         return acc0
     return lax.fori_loop(0, num_windows - 1, step, acc0)
@@ -140,18 +145,18 @@ def combine_buckets(bucket_sums: ed.PointP3, num_outputs: int, num_windows: int)
 GATHER_BUDGET_BYTES = 1 << 30
 
 
-def _row_block(capacity: int, r_rows: int) -> int:
-    per_row = NUM_BUCKETS * capacity * 4 * F.NLIMBS * 4 * 2  # x2: tree temps
+def _row_block(capacity: int, r_rows: int, curve=ed) -> int:
+    per_row = NUM_BUCKETS * capacity * curve.coord_count * curve.nlimbs * 4 * 2  # x2: tree temps
     blk = max(1, GATHER_BUDGET_BYTES // per_row)
     return min(blk, r_rows)
 
 
 def bucket_accumulate_chunked(
-    points: ed.PointP3, digits: jnp.ndarray, signs: jnp.ndarray, capacity: int
-) -> ed.PointP3:
+    points, digits: jnp.ndarray, signs: jnp.ndarray, capacity: int, curve=ed
+):
     """bucket_accumulate over row blocks (lax.map) to bound peak memory."""
     r_rows, n = digits.shape
-    blk = _row_block(capacity, r_rows)
+    blk = _row_block(capacity, r_rows, curve)
     if r_rows % blk:
         pad = blk - r_rows % blk
         digits = jnp.concatenate([digits, jnp.zeros((pad, n), digits.dtype)])
@@ -160,7 +165,7 @@ def bucket_accumulate_chunked(
 
     def f(args):
         d, s = args
-        return bucket_accumulate(points, d, s, capacity)
+        return bucket_accumulate(points, d, s, capacity, curve)
 
     out = lax.map(
         f,
@@ -169,25 +174,28 @@ def bucket_accumulate_chunked(
             signs.reshape(nblocks, blk, n),
         ),
     )
-    # leaves: (nblocks, 16, blk, 255) -> (16, nblocks*blk, 255)
-    merged = ed.PointP3(
+    # leaves: (nblocks, nlimbs, blk, 255) -> (nlimbs, nblocks*blk, 255)
+    merged = curve.make_point(
         *(
-            jnp.moveaxis(c, 0, 1).reshape(F.NLIMBS, nblocks * blk, NUM_BUCKETS)
+            jnp.moveaxis(c, 0, 1).reshape(curve.nlimbs, nblocks * blk, NUM_BUCKETS)
             for c in out
         )
     )
-    return ed.index_batch(merged, (slice(0, r_rows),))
+    return curve.index_batch(merged, (slice(0, r_rows),))
 
 
-@functools.partial(jax.jit, static_argnames=("num_outputs", "num_windows", "capacity"))
+@functools.partial(
+    jax.jit, static_argnames=("num_outputs", "num_windows", "capacity", "curve")
+)
 def msm_jit(
-    points: ed.PointP3,
+    points,
     digits: jnp.ndarray,
     signs: jnp.ndarray,
     num_outputs: int,
     num_windows: int,
     capacity: int,
-) -> ed.PointP3:
+    curve=ed,
+):
     """Single-device MSM: digits (O, W, n) -> (O,) points."""
     r_rows = num_outputs * num_windows
     n = digits.shape[-1]
@@ -195,8 +203,8 @@ def msm_jit(
     signs = jnp.broadcast_to(signs[:, None, :], (num_outputs, num_windows, n)).reshape(
         r_rows, n
     )
-    buckets = bucket_accumulate_chunked(points, digits, signs, capacity)
-    return combine_buckets(buckets, num_outputs, num_windows)
+    buckets = bucket_accumulate_chunked(points, digits, signs, capacity, curve)
+    return combine_buckets(buckets, num_outputs, num_windows, curve)
 
 
 def prepare_scalars(data_list, nbytes_list, signed_list, n_max=None):
@@ -236,16 +244,16 @@ def prepare_scalars(data_list, nbytes_list, signed_list, n_max=None):
     return scalars, signs, n
 
 
-def msm(points: ed.PointP3, data_list, nbytes_list, signed_list) -> ed.PointP3:
+def msm(points, data_list, nbytes_list, signed_list, curve=ed):
     """Host entry: generalized Pedersen MSM over shared generators.
 
     Equivalent of reference mtxcrv::async_compute_multiexponentiation
-    (reference multiexp/curve/multiexponentiation.h:147-208) for curve25519.
+    (reference multiexp/curve/multiexponentiation.h:147-208), curve-generic.
     """
     scalars, signs, n = prepare_scalars(data_list, nbytes_list, signed_list)
     num_outputs, _, max_nbytes = scalars.shape
     if n == 0 or num_outputs == 0:
-        return ed.identity((max(num_outputs, 0),))
+        return curve.identity((max(num_outputs, 0),))
     # pad n to the next power of two (>= 8) to bound shape-specialized
     # recompiles; zero digits land in the excluded bucket 0
     n_pad = 8
@@ -263,4 +271,5 @@ def msm(points: ed.PointP3, data_list, nbytes_list, signed_list) -> ed.PointP3:
         num_outputs=num_outputs,
         num_windows=max_nbytes,
         capacity=capacity,
+        curve=curve,
     )

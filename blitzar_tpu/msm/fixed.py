@@ -1,0 +1,290 @@
+"""Fixed-generator MSM with precomputed partition tables.
+
+TPU-native counterpart of reference sxt/multiexp/pippenger2: a handle holds,
+for each group of ``window_width`` generators, all 2^w subset sums
+(reference partition_table.h:36-98); a query gathers one table entry per
+(output-bit, group) and reduces (reference partition_product.h:47-92), then
+doubling-reduces bits into outputs (reference combine_reduce.h:40-68).
+
+Differences from the reference, chosen for TPU:
+
+- default ``window_width`` is 8 (not 16): the table is built by w
+  subset-doubling concatenations (table_{j+1} = [table_j | table_j + G_j] —
+  w batched adds instead of the reference's 2^w next_permutation walk), and a
+  2^8-entry axis keeps the per-query gather slab in VMEM-friendly sizes. The
+  width is configurable like the reference's BLITZAR_PARTITION_WINDOW_WIDTH.
+- queries are full-width vector programs: bits are unpacked host-side to
+  (rows, n) and table entries are gathered with one take_along_axis per row
+  block, then tree-reduced over groups — no per-thread serial walks.
+
+The packed and variable-length entry points (reference
+sxt_fixed_packed_multiexponentiation / sxt_fixed_vlen_multiexponentiation,
+blitzar_api.h:712-752) reduce to the same core: a (bit-row, n) bit matrix —
+vlen just zeroes bits at positions >= the output's length, so those groups
+index table entry 0 = identity.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..curves import edwards25519 as ed
+
+
+def default_window_width() -> int:
+    """Reference pippenger2/window_width.cc:30-56 (env-overridable)."""
+    v = os.environ.get("BLITZAR_TPU_PARTITION_WINDOW_WIDTH")
+    return int(v) if v else 8
+
+
+@functools.partial(jax.jit, static_argnames=("window_width", "curve"))
+def _build_table(points, window_width: int, curve=ed):
+    """points: (n,) batch, n a multiple of window_width ->
+    (num_groups, 2^w) partition table: table[g, v] = sum_{j: bit j of v}
+    points[g*w + j]."""
+    n = points.x.shape[-1]
+    groups = n // window_width
+    pts = curve.reshape_batch(points, (groups, window_width))
+    table = curve.identity((groups, 1))
+    for j in range(window_width):
+        gj = curve.index_batch(pts, (slice(None), j))  # (groups,)
+        shifted = curve.add(table, curve.make_point(*(c[..., None] for c in gj)))
+        table = curve.make_point(
+            *(jnp.concatenate([tc, sc], axis=-1) for tc, sc in zip(table, shifted))
+        )
+    return table
+
+
+class MultiexpHandle:
+    """Reference sxt_multiexp_handle (blitzar_api.h:184, multiexp_handle.h):
+    precomputed partition tables for a fixed generator sequence."""
+
+    def __init__(self, points, window_width: int | None = None, curve=ed, n: int | None = None):
+        self.curve = curve
+        self.window_width = int(window_width or default_window_width())
+        self.n = int(n if n is not None else points.x.shape[-1])
+        w = self.window_width
+        n_pad = -(-max(self.n, 1) // w) * w
+        if points.x.shape[-1] < n_pad:
+            pad = curve.identity((n_pad - points.x.shape[-1],))
+            points = curve.make_point(
+                *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
+            )
+        self.table = _build_table(points, w, curve)
+        self.num_groups = n_pad // w
+
+    # -- serialization (reference in_memory_partition_table_accessor.h:42-64:
+    # window_width header + raw table; ours is an npz with the same content) --
+
+    def write_to_file(self, path: str) -> None:
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            curve=self.curve.name,
+            window_width=self.window_width,
+            n=self.n,
+            **{f"coord{i}": np.asarray(c) for i, c in enumerate(self.table)},
+        )
+
+    @classmethod
+    def new_from_file(cls, path: str, curve=ed) -> "MultiexpHandle":
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        assert str(data["curve"]) == curve.name, (
+            f"file curve {data['curve']} != requested {curve.name}"
+        )
+        obj = cls.__new__(cls)
+        obj.curve = curve
+        obj.window_width = int(data["window_width"])
+        obj.n = int(data["n"])
+        obj.table = curve.make_point(
+            *(jnp.asarray(data[f"coord{i}"]) for i in range(curve.coord_count))
+        )
+        obj.num_groups = obj.table.x.shape[-2]
+        return obj
+
+
+# soft cap on the gathered (rows, groups) point slab, in bytes
+GATHER_BUDGET_BYTES = 1 << 30
+
+
+@functools.partial(jax.jit, static_argnames=("window_width", "curve"))
+def _partition_products(table, bit_rows, window_width: int, curve=ed):
+    """table: (groups, 2^w) points; bit_rows: (R, groups*w) uint8 in {0,1}.
+    Returns (R,) points: sum_g table[g, pack(bits[r, g*w:(g+1)*w])]."""
+    r_rows, n = bit_rows.shape
+    groups = n // window_width
+    weights = (1 << np.arange(window_width, dtype=np.int32))[None, None, :]
+    idx = jnp.sum(
+        bit_rows.reshape(r_rows, groups, window_width).astype(jnp.int32)
+        * jnp.asarray(weights),
+        axis=-1,
+    )  # (R, groups)
+
+    nlimbs = curve.nlimbs
+    per_row = groups * nlimbs * curve.coord_count * 4 * 2
+    blk = min(max(1, GATHER_BUDGET_BYTES // per_row), r_rows)
+    if r_rows % blk:
+        blk = 1 << max(int(blk).bit_length() - 1, 0)
+        while r_rows % blk:
+            blk //= 2
+        blk = max(blk, 1)
+
+    def gather_reduce(idx_blk):
+        # coords (nlimbs, G, V) + idx (B, G) -> (nlimbs, B, G)
+        gathered = curve.make_point(
+            *(
+                jnp.take_along_axis(
+                    c[:, None, :, :],
+                    idx_blk[None, :, :, None],
+                    axis=3,
+                ).squeeze(3)
+                for c in table
+            )
+        )
+        return curve.tree_reduce(gathered, groups)
+
+    nblocks = r_rows // blk
+    out = lax.map(gather_reduce, idx.reshape(nblocks, blk, groups))
+    return curve.make_point(
+        *(jnp.moveaxis(c, 0, 1).reshape(nlimbs, r_rows) for c in out)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits", "curve"))
+def _doubling_combine(products, num_bits: int, curve=ed):
+    """(O, num_bits) bit products -> (O,): sum_b 2^b * products[:, b]
+    (reference pippenger2/reduce.h:37-48)."""
+    acc = curve.make_point(*(c[:, :, num_bits - 1] for c in products))
+    if num_bits == 1:
+        return acc
+
+    def step(i, acc):
+        acc = curve.double(acc)
+        b = num_bits - 2 - i
+        row = curve.make_point(
+            *(lax.dynamic_index_in_dim(c, b, axis=2, keepdims=False) for c in products)
+        )
+        return curve.add(acc, row)
+
+    return lax.fori_loop(0, num_bits - 1, step, acc)
+
+
+def _bits_from_bytes(scalars: np.ndarray) -> np.ndarray:
+    """(O, n, nbytes) uint8 -> (O, 8*nbytes, n) bit rows (LSB-first)."""
+    o, n, nbytes = scalars.shape
+    bits = np.unpackbits(scalars, axis=-1, bitorder="little")  # (O, n, 8*nbytes)
+    return np.transpose(bits, (0, 2, 1))
+
+
+def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
+    """scalars: (num_outputs, n, element_num_bytes) uint8 -> (num_outputs,)
+    points (reference sxt_fixed_multiexponentiation, blitzar_api.h:685)."""
+    curve = handle.curve
+    scalars = np.asarray(scalars, np.uint8)
+    num_outputs, n, nbytes = scalars.shape
+    assert n <= handle.n, f"scalar length {n} exceeds handle size {handle.n}"
+    if num_outputs == 0:
+        return curve.identity((0,))
+    n_table = handle.num_groups * handle.window_width
+    if n < n_table:
+        scalars = np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
+    bits = _bits_from_bytes(scalars)  # (O, nbits, n_table)
+    nbits = 8 * nbytes
+    rows = jnp.asarray(bits.reshape(num_outputs * nbits, n_table))
+    products = _partition_products(handle.table, rows, handle.window_width, curve)
+    products = curve.reshape_batch(products, (num_outputs, nbits))
+    return _doubling_combine(products, nbits, curve)
+
+
+def _unpack_packed_scalars(
+    scalars: np.ndarray, output_bit_table, n: int
+) -> np.ndarray:
+    """Packed column-major scalars (reference blitzar_api.h:712-733) ->
+    (bit_sum, n) bit rows. Row order: output 0's bits LSB-first, then
+    output 1's, ... matching the packed bit layout."""
+    bit_sum = int(sum(output_bit_table))
+    num_bytes = -(-bit_sum // 8)
+    cols = np.asarray(scalars, np.uint8).reshape(n, num_bytes)
+    bits = np.unpackbits(cols, axis=-1, bitorder="little")[:, :bit_sum]
+    return bits.T.copy()  # (bit_sum, n)
+
+
+def fixed_packed_multiexponentiation(
+    handle: MultiexpHandle, output_bit_table, n: int, scalars
+):
+    """Reference sxt_fixed_packed_multiexponentiation (blitzar_api.h:712).
+    If BLITZAR_TPU_DUMP_DIR is set, inputs are recorded for offline replay
+    (reference gpu_backend.cc:286-301)."""
+    from ..utils import recorder
+
+    curve = handle.curve
+    output_bit_table = [int(b) for b in output_bit_table]
+    recorder.record(
+        f"packed-{curve.name}",
+        output_bit_table=np.asarray(output_bit_table, np.uint32),
+        n=np.asarray(n, np.uint64),
+        scalars=np.asarray(scalars, np.uint8),
+        window_width=np.asarray(handle.window_width, np.uint32),
+    )
+    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
+    return _packed_core(handle, rows_np, output_bit_table, None)
+
+
+def fixed_vlen_multiexponentiation(
+    handle: MultiexpHandle, output_bit_table, output_lengths, scalars
+):
+    """Reference sxt_fixed_vlen_multiexponentiation (blitzar_api.h:741):
+    output_lengths must be ascending; output o uses only the first
+    output_lengths[o] generators — bits past the length are zeroed so their
+    groups hit table entry 0 (identity)."""
+    from ..utils import recorder
+
+    output_bit_table = [int(b) for b in output_bit_table]
+    output_lengths = [int(v) for v in output_lengths]
+    recorder.record(
+        f"vlen-{handle.curve.name}",
+        output_bit_table=np.asarray(output_bit_table, np.uint32),
+        output_lengths=np.asarray(output_lengths, np.uint32),
+        scalars=np.asarray(scalars, np.uint8),
+        window_width=np.asarray(handle.window_width, np.uint32),
+    )
+    assert all(
+        a <= b for a, b in zip(output_lengths, output_lengths[1:])
+    ), "output_lengths must be sorted ascending"
+    n = max(output_lengths) if output_lengths else 0
+    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
+    return _packed_core(handle, rows_np, output_bit_table, output_lengths)
+
+
+def _packed_core(handle, rows_np, output_bit_table, output_lengths):
+    curve = handle.curve
+    num_outputs = len(output_bit_table)
+    n = rows_np.shape[1]
+    assert n <= handle.n
+    n_table = handle.num_groups * handle.window_width
+    if n < n_table:
+        rows_np = np.pad(rows_np, ((0, 0), (0, n_table - n)))
+    if output_lengths is not None:
+        starts = np.cumsum([0] + output_bit_table)
+        for o, length in enumerate(output_lengths):
+            rows_np[starts[o] : starts[o + 1], length:] = 0
+    products = _partition_products(
+        handle.table, jnp.asarray(rows_np), handle.window_width, curve
+    )
+    # combine each output's bit range (bit counts may differ per output)
+    outputs = []
+    start = 0
+    for o in range(num_outputs):
+        nbits = output_bit_table[o]
+        sub = curve.index_batch(products, (slice(start, start + nbits),))
+        sub = curve.reshape_batch(sub, (1, nbits))
+        outputs.append(_doubling_combine(sub, nbits, curve))
+        start += nbits
+    return curve.make_point(
+        *(jnp.concatenate(cs, axis=-1) for cs in zip(*outputs))
+    )

@@ -31,17 +31,19 @@ def make_mesh(devices=None) -> Mesh:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_outputs", "num_windows", "capacity", "mesh")
+    jax.jit,
+    static_argnames=("num_outputs", "num_windows", "capacity", "mesh", "curve"),
 )
 def msm_sharded_jit(
-    points: ed.PointP3,
+    points,
     digits: jnp.ndarray,
     signs: jnp.ndarray,
     num_outputs: int,
     num_windows: int,
     capacity: int,
     mesh: Mesh,
-) -> ed.PointP3:
+    curve=ed,
+):
     """digits (O, W, n), n divisible by mesh size -> (O,) points (replicated)."""
     r_rows = num_outputs * num_windows
     n = digits.shape[-1]
@@ -51,31 +53,35 @@ def msm_sharded_jit(
     ).reshape(r_rows, n)
 
     def local(pts, d, s):
-        buckets = engine.bucket_accumulate_chunked(pts, d, s, capacity)
-        gathered = jax.lax.all_gather(buckets, AXIS)  # leaves (D, 16, R, 255)
-        stacked = ed.PointP3(*(jnp.moveaxis(c, 0, -1) for c in gathered))
+        buckets = engine.bucket_accumulate_chunked(pts, d, s, capacity, curve)
+        gathered = jax.lax.all_gather(buckets, AXIS)  # leaves (D, nlimbs, R, 255)
+        stacked = curve.make_point(*(jnp.moveaxis(c, 0, -1) for c in gathered))
         return engine.combine_buckets(
-            ed.tree_reduce(stacked, mesh.size), num_outputs, num_windows
+            curve.tree_reduce(stacked, mesh.size), num_outputs, num_windows, curve
         )
 
     shard_pt = P(None, AXIS)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(ed.PointP3(shard_pt, shard_pt, shard_pt, shard_pt), shard_pt, shard_pt),
-        out_specs=ed.PointP3(P(), P(), P(), P()),
+        in_specs=(
+            curve.make_point(*([shard_pt] * curve.coord_count)),
+            shard_pt,
+            shard_pt,
+        ),
+        out_specs=curve.make_point(*([P()] * curve.coord_count)),
         # the while-loop carry starts replicated (identity points) and becomes
         # device-varying after the first gather; skip the static VMA check
         check_vma=False,
     )(points, digits, signs)
 
 
-def msm(mesh: Mesh, points: ed.PointP3, data_list, nbytes_list, signed_list) -> ed.PointP3:
+def msm(mesh: Mesh, points, data_list, nbytes_list, signed_list, curve=ed):
     """Host entry: sharded generalized Pedersen MSM over shared generators."""
     scalars, signs, n = engine.prepare_scalars(data_list, nbytes_list, signed_list)
     num_outputs, _, max_nbytes = scalars.shape
     if n == 0 or num_outputs == 0:
-        return ed.identity((max(num_outputs, 0),))
+        return curve.identity((max(num_outputs, 0),))
     # pad n to a power of two >= 8 * mesh size so shards are equal
     n_pad = 8 * mesh.size
     while n_pad < n:
@@ -85,12 +91,12 @@ def msm(mesh: Mesh, points: ed.PointP3, data_list, nbytes_list, signed_list) -> 
         signs = np.pad(signs, ((0, 0), (0, n_pad - n)))
     npts = points.x.shape[-1]
     if npts < n_pad:  # pad points with identity so shards line up
-        pad = ed.identity((n_pad - npts,))
-        points = ed.PointP3(
+        pad = curve.identity((n_pad - npts,))
+        points = curve.make_point(
             *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
         )
     elif npts > n_pad:
-        points = ed.index_batch(points, (slice(0, n_pad),))
+        points = curve.index_batch(points, (slice(0, n_pad),))
     digits = engine.digit_decompose(jnp.asarray(scalars))
     capacity = engine.choose_capacity(max(n // mesh.size, 1))
     return msm_sharded_jit(
@@ -101,4 +107,5 @@ def msm(mesh: Mesh, points: ed.PointP3, data_list, nbytes_list, signed_list) -> 
         num_windows=max_nbytes,
         capacity=capacity,
         mesh=mesh,
+        curve=curve,
     )

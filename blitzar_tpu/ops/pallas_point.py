@@ -1,0 +1,140 @@
+"""Pallas TPU kernels for the curve25519 group law — the hot ops of the MSM
+engine (reference counterpart: the inner loops of
+sxt/multiexp/bucket_method/accumulation_kernel.h and
+sxt/curve21/operation/add.h, which CUDA compiles once as __device__ code).
+
+Why a kernel instead of plain XLA: one unified Edwards add is ~10^4 scalar
+HLO ops after 16x16-limb expansion. Traced inline at every tree-reduction
+level, XLA compile time explodes (and XLA's fusion decisions around the limb
+chains are fragile). Here the whole add/double body is ONE pallas_call —
+Mosaic compiles the straight-line vector program once per shape, all limb
+intermediates stay in VMEM/registers, and the HLO graph stays tiny.
+
+Layout: a coordinate batch (16, *batch) uint32 is flattened and tiled to
+(16, M, 128) — the minor axis rides the 128 lanes, M rides the sublanes, and
+the grid walks M in blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import fp25519 as F
+
+LANES = 128
+M_BLK = 8  # sublane block: 8*128 = 1024 lanes per grid step per limb
+
+
+def use_pallas() -> bool:
+    env = os.environ.get("BLITZAR_TPU_USE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# kernels (bodies reuse the plain jnp limb formulas — Mosaic compiles them)
+# ---------------------------------------------------------------------------
+
+
+def _add_body(px, py, pz, pt, qx, qy, qz, qt, ox, oy, oz, ot):
+    from ..curves import edwards25519 as ed
+
+    with F.diag_mode():
+        p = ed.PointP3(px[:], py[:], pz[:], pt[:])
+        q = ed.PointP3(qx[:], qy[:], qz[:], qt[:])
+        r = ed._add_impl(p, q)
+    ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
+
+
+def _double_body(px, py, pz, pt, ox, oy, oz, ot):
+    from ..curves import edwards25519 as ed
+
+    with F.diag_mode():
+        p = ed.PointP3(px[:], py[:], pz[:], pt[:])
+        r = ed._double_impl(p)
+    ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
+
+
+def _tiles(c, m):
+    """(16, B) -> (16, m, 128) zero-padded."""
+    b = c.shape[1]
+    flat = jnp.zeros((F.NLIMBS, m * LANES), jnp.uint32)
+    flat = jax.lax.dynamic_update_slice(flat, c, (0, 0))
+    return flat.reshape(F.NLIMBS, m, LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _add_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _add_body,
+        grid=(m // blk,),
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _double_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _double_body,
+        grid=(m // blk,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def _run(point_coords, tiled_fn, interpret):
+    """Flatten batch -> tiles -> kernel -> restore batch shape."""
+    batch_shape = point_coords[0].shape[1:]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    m = -(-b // LANES)
+    m = -(-m // M_BLK) * M_BLK if m > M_BLK else m
+    flat = [c.reshape(F.NLIMBS, b) for c in point_coords]
+    tiles = [_tiles(c, m) for c in flat]
+    out = tiled_fn(tiles, m, interpret)
+    return [
+        c.reshape(F.NLIMBS, m * LANES)[:, :b].reshape((F.NLIMBS,) + batch_shape)
+        for c in out
+    ]
+
+
+# On TPU route (almost) every add/double through the kernel: padding a tiny
+# batch to one (8, 128) tile costs ~µs at runtime, while tracing the plain
+# limb formulas inline costs ~10^4 HLO ops of compile time per call site.
+MIN_LANES = 2
+
+
+def add(p, q, interpret: bool = False):
+    from ..curves import edwards25519 as ed
+
+    out = _run(list(p) + list(q), _add_tiled, interpret)
+    return ed.PointP3(*out)
+
+
+def double(p, interpret: bool = False):
+    from ..curves import edwards25519 as ed
+
+    out = _run(list(p), _double_tiled, interpret)
+    return ed.PointP3(*out)

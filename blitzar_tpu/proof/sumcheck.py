@@ -1,0 +1,305 @@
+"""Sumcheck prover + verifier for products of multilinear extensions.
+
+Mirrors reference sxt/proof/sumcheck: the round loop of
+proof_computation.h:32-69, the expand/fold math of cpu_driver.h and
+polynomial_utility.h, the transcript protocol of reference_transcript.h
+(domain "sumcheck proof v1", labels "n"/"k"/"P"/"R"), and the host-only
+verifier verification.h:30-79. Supported fields (reference
+cbindings/base/field_id_utility.h:30-41): the curve25519 scalar field and the
+Grumpkin base field (= bn254 Fr).
+
+TPU mapping: MLEs are zero-padded to 2^num_variables once, which makes the
+reference's partial_expand_products / partial-fold branches (for non-power-of-2
+n) fall out of the same full-width code path. Each round's polynomial is a
+fused batched map-reduce: per product, the coefficients of
+prod_j (a_j + b_j X) are built by an incremental linear convolution vectorized
+over the half-cube axis (the lane dual of reference polynomial_mapper.h /
+sum_gpu.h:60-149), then tree-summed. Fold is one full-width
+mle' = (1-r)*lo + r*hi (reference fold_gpu.h).
+
+Transcript byte contract: for scalar25519, elements enter the transcript as
+canonical little-endian bytes and challenges are 256-bit draws reduced mod l
+(reference transcript_utility.cc:28-31). For fieldgk the reference appends raw
+*Montgomery-form* limb bytes and stores challenges through an extra
+R^-1 twist (transcript_utility.cc:33-37: the squeezed bytes are treated as a
+Montgomery element and converted with to_bytes_le in place, so the semantic
+challenge is raw * R^-2 mod r); both quirks are reproduced bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import params
+from ..fields.mont import MontField
+from .transcript import Transcript
+
+MAX_DEGREE = 5  # reference proof/sumcheck/constant.h:25
+
+
+# ---------------------------------------------------------------------------
+# field codecs: how elements cross the transcript boundary
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FieldCodec:
+    name: str
+    field: MontField
+
+    def element_to_transcript_bytes(self, value: int) -> bytes:
+        raise NotImplementedError
+
+    def challenge_from_bytes(self, raw: bytes) -> int:
+        raise NotImplementedError
+
+
+class _Scalar25519Codec(FieldCodec):
+    def element_to_transcript_bytes(self, value: int) -> bytes:
+        return (value % self.field.modulus).to_bytes(32, "little")
+
+    def challenge_from_bytes(self, raw: bytes) -> int:
+        return int.from_bytes(raw, "little") % self.field.modulus
+
+
+class _FieldGkCodec(FieldCodec):
+    """Grumpkin base field: raw Montgomery limb bytes in, R^-2-twisted
+    challenges out (see module docstring)."""
+
+    def element_to_transcript_bytes(self, value: int) -> bytes:
+        m = value % self.field.modulus * self.field.r % self.field.modulus
+        return m.to_bytes(32, "little")
+
+    def challenge_from_bytes(self, raw: bytes) -> int:
+        rinv = pow(self.field.r, -1, self.field.modulus)
+        return int.from_bytes(raw, "little") * rinv * rinv % self.field.modulus
+
+
+SCALAR25519_CODEC = _Scalar25519Codec("scalar25519", params.SCALAR25519)
+FIELDGK_CODEC = _FieldGkCodec("fieldgk", params.BN254_FR)
+
+CODECS = {"scalar25519": SCALAR25519_CODEC, "grumpkin": FIELDGK_CODEC}
+
+
+# ---------------------------------------------------------------------------
+# transcripts
+# ---------------------------------------------------------------------------
+
+
+class SumcheckTranscript:
+    """Abstract round-challenge source (reference sumcheck_transcript.h)."""
+
+    def init(self, num_variables: int, round_degree: int) -> None: ...
+
+    def round_challenge(self, polynomial: list[int]) -> int: ...
+
+
+class ReferenceSumcheckTranscript(SumcheckTranscript):
+    """Merlin-backed transcript (reference reference_transcript.h:27-44)."""
+
+    def __init__(self, transcript: Transcript, codec: FieldCodec):
+        self.transcript = transcript
+        self.codec = codec
+
+    def init(self, num_variables: int, round_degree: int) -> None:
+        self.transcript.append_message(b"domain-sep", b"sumcheck proof v1")
+        self.transcript.append_u64(b"n", num_variables)
+        self.transcript.append_u64(b"k", round_degree)
+
+    def round_challenge(self, polynomial: list[int]) -> int:
+        data = b"".join(
+            self.codec.element_to_transcript_bytes(c) for c in polynomial
+        )
+        self.transcript.append_message(b"P", data)
+        raw = self.transcript.challenge_bytes(b"R", 32)
+        return self.codec.challenge_from_bytes(raw)
+
+
+class CallbackSumcheckTranscript(SumcheckTranscript):
+    """Wrap a user callback drawing challenges (reference
+    cbindings/backend/callback_sumcheck_transcript.h:26-40)."""
+
+    def __init__(self, callback):
+        self.callback = callback
+
+    def init(self, num_variables: int, round_degree: int) -> None:
+        pass
+
+    def round_challenge(self, polynomial: list[int]) -> int:
+        return self.callback(polynomial)
+
+
+# ---------------------------------------------------------------------------
+# jitted round kernels
+# ---------------------------------------------------------------------------
+
+
+def _structure(product_table, product_terms):
+    """Static nested tuple of per-product MLE-index tuples."""
+    out = []
+    first = 0
+    for _, num_terms in product_table:
+        out.append(tuple(int(t) for t in product_terms[first : first + num_terms]))
+        first += num_terms
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree", "mid"))
+def _sum_round(field: MontField, mles, mults, terms_struct, degree: int, mid: int):
+    """Round polynomial coefficients.
+
+    mles: (nlimbs, num_mles, 2*mid) Montgomery; mults: (nlimbs, num_products).
+    Returns (nlimbs, degree+1): sum_i sum_products mult * coeffs of
+    prod_j (a_j + b_j X) with a_j = mle[t_j, i], b_j = mle[t_j, mid+i] - a_j
+    (reference polynomial_utility.h expand_products, vectorized over i).
+    """
+    poly = [field.zeros(()) for _ in range(degree + 1)]
+    for prod_index, terms in enumerate(terms_struct):
+        a0 = mles[:, terms[0], :mid]
+        b0 = field.sub(mles[:, terms[0], mid:], a0)
+        p = [a0, b0]
+        for t in terms[1:]:
+            a = mles[:, t, :mid]
+            b = field.sub(mles[:, t, mid:], a)
+            new_p = [field.mul(p[0], a)]
+            for k in range(1, len(p)):
+                new_p.append(
+                    field.add(field.mul(p[k], a), field.mul(p[k - 1], b))
+                )
+            new_p.append(field.mul(p[-1], b))
+            p = new_p
+        mult = mults[:, prod_index]
+        for k, coeff in enumerate(p):
+            total = field.tree_sum(coeff, mid)
+            poly[k] = field.add(poly[k], field.mul(mult, total))
+    return jnp.stack(poly, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "mid"))
+def _fold_round(field: MontField, mles, r, one_m_r, mid: int):
+    """mle' = (1-r)*lo + r*hi, full width (reference cpu_driver.h fold)."""
+    lo = mles[:, :, :mid]
+    hi = mles[:, :, mid:]
+    return field.add(
+        field.mul(one_m_r[:, None], lo), field.mul(r[:, None], hi)
+    )
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def ceil_log2(n: int) -> int:
+    return max(int(n - 1).bit_length(), 0)
+
+
+def prove_sum(
+    transcript: SumcheckTranscript,
+    mles,
+    product_table,
+    product_terms,
+    n: int,
+    codec: FieldCodec = SCALAR25519_CODEC,
+):
+    """Returns (round_polynomials, evaluation_point).
+
+    mles: (num_mles, n) int array-like (column-major n x num_mles in the
+    reference API, reference blitzar_api.h:146-151 — callers pass rows here).
+    product_table: [(multiplier int, num_terms)], product_terms: flat MLE
+    indices. round_polynomials: list of num_variables lists, each of
+    round_degree+1 coefficient ints (reference prove_sum,
+    proof/sumcheck/proof_computation.h:32-69).
+    """
+    field = codec.field
+    assert n > 0
+    num_variables = max(ceil_log2(n), 1)
+    n_pad = 1 << num_variables
+    mles = [[int(v) % field.modulus for v in row] for row in mles]
+    num_mles = len(mles)
+    degree = max(num_terms for _, num_terms in product_table)
+    assert degree <= MAX_DEGREE
+
+    flat: list[int] = []
+    for row in mles:
+        assert len(row) == n
+        flat.extend(row + [0] * (n_pad - n))
+    arr = field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
+    mults = field.from_ints([m for m, _ in product_table])
+    terms_struct = _structure(product_table, product_terms)
+
+    transcript.init(num_variables, degree)
+
+    polynomials: list[list[int]] = []
+    evaluation_point: list[int] = []
+    cur = n_pad
+    for _ in range(num_variables):
+        mid = cur // 2 if cur > 1 else 1
+        if cur == 1:
+            # single-variable base case: pad with a zero half
+            arr = jnp.concatenate([arr, field.zeros((num_mles, 1))], axis=-1)
+            cur, mid = 2, 1
+        coeffs = _sum_round(field, arr, mults, terms_struct, degree, mid)
+        poly_ints = field.to_ints(coeffs)
+        polynomials.append(poly_ints)
+        r = transcript.round_challenge(poly_ints)
+        evaluation_point.append(r)
+        if len(polynomials) < num_variables:
+            r_mont = field.from_ints([r])
+            one_m_r = field.from_ints([(1 - r) % field.modulus])
+            arr = _fold_round(field, arr, r_mont, one_m_r, mid)
+            cur = mid
+    return polynomials, evaluation_point
+
+
+# ---------------------------------------------------------------------------
+# verifier (host-only, reference verification.h:30-79)
+# ---------------------------------------------------------------------------
+
+
+def sum_polynomial_01(polynomial: list[int], modulus: int) -> int:
+    """f(0) + f(1) = 2*c0 + c1 + ... (reference polynomial_utility.h)."""
+    if not polynomial:
+        return 0
+    return (polynomial[0] + sum(polynomial)) % modulus
+
+
+def evaluate_polynomial(polynomial: list[int], x: int, modulus: int) -> int:
+    e = 0
+    for c in reversed(polynomial):
+        e = (e * x + c) % modulus
+    return e
+
+
+def verify_sumcheck_no_evaluation(
+    expected_sum: int,
+    transcript: SumcheckTranscript,
+    round_polynomials,
+    round_degree: int,
+    num_variables: int,
+    codec: FieldCodec = SCALAR25519_CODEC,
+):
+    """Returns (ok, evaluation_point, final_expected_sum). Checks every round's
+    f(0)+f(1) against the running expected sum; the caller is responsible for
+    the final MLE evaluation check (hence "no evaluation")."""
+    m = codec.field.modulus
+    assert num_variables > 0 and round_degree > 0
+    if len(round_polynomials) != num_variables or any(
+        len(p) != round_degree + 1 for p in round_polynomials
+    ):
+        return False, [], expected_sum
+    transcript.init(num_variables, round_degree)
+    evaluation_point = []
+    expected = expected_sum % m
+    for polynomial in round_polynomials:
+        if sum_polynomial_01(polynomial, m) != expected:
+            return False, evaluation_point, expected
+        r = transcript.round_challenge(polynomial)
+        evaluation_point.append(r)
+        expected = evaluate_polynomial(polynomial, r, m)
+    return True, evaluation_point, expected

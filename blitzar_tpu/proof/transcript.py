@@ -139,12 +139,38 @@ class Strobe128:
         return self._squeeze(n)
 
 
+    # -- 203-byte ABI state (reference sxt_transcript, blitzar_api.h:61-63:
+    # 200-byte keccak state + pos + pos_begin + cur_flags) -------------------
+
+    def to_bytes203(self) -> bytes:
+        return bytes(self.state) + bytes([self.pos, self.pos_begin, self.cur_flags])
+
+    @classmethod
+    def from_bytes203(cls, data: bytes) -> "Strobe128":
+        assert len(data) == 203
+        obj = cls.__new__(cls)
+        obj.state = bytearray(data[:200])
+        obj.pos = data[200]
+        obj.pos_begin = data[201]
+        obj.cur_flags = data[202]
+        return obj
+
+
 class Transcript:
     """Merlin transcript (reference transcript.cc / merlin crate)."""
 
     def __init__(self, label: bytes):
         self.strobe = Strobe128(b"Merlin v1.0")
         self.append_message(b"dom-sep", label)
+
+    def to_bytes203(self) -> bytes:
+        return self.strobe.to_bytes203()
+
+    @classmethod
+    def from_bytes203(cls, data: bytes) -> "Transcript":
+        obj = cls.__new__(cls)
+        obj.strobe = Strobe128.from_bytes203(data)
+        return obj
 
     def append_message(self, label: bytes, message: bytes):
         self.strobe.meta_ad(label, False)
