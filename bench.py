@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Headline benchmark: ristretto255 Pedersen MSM throughput on one chip.
+"""Headline benchmark: ristretto255 fixed-generator MSM throughput, one chip.
+
+Mirrors the reference's multi_exp_pip benchmark (reference
+benchmark/multi_exp_pip/README.md): a multiexp handle is precomputed once
+(partition tables), then queries are timed with device-resident scalars.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference repo publishes no numeric tables (BASELINE.md), so vs_baseline
@@ -16,74 +20,83 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 
 from blitzar_tpu import generators as gen
-from blitzar_tpu.msm import engine
+from blitzar_tpu.curves import edwards25519 as ed
+from blitzar_tpu.curves import ristretto as rst
+from blitzar_tpu.msm import fixed
 
 LOG_N = int(os.environ.get("BLITZAR_TPU_BENCH_LOG_N", "20"))
 NUM_OUTPUTS = int(os.environ.get("BLITZAR_TPU_BENCH_OUTPUTS", "1"))
 NBYTES = 32
 SAMPLES = int(os.environ.get("BLITZAR_TPU_BENCH_SAMPLES", "3"))
+# w=8 tables need 32n points; keep them under ~2.5 GB on-chip
+WINDOW = int(os.environ.get("BLITZAR_TPU_BENCH_WINDOW", "8" if LOG_N <= 17 else "4"))
 
 
 def main():
     n = 1 << LOG_N
     t0 = time.time()
     points = gen.ristretto_generators(n)
-    jax.block_until_ready(points.x)
-    t_gen = time.time() - t0
+    handle = fixed.MultiexpHandle(points, window_width=WINDOW)
+    np.asarray(handle.t_lo[:1, :1, :1])  # force completion
+    t_setup = time.time() - t0
+    del points
 
     rng = np.random.default_rng(97834978)
     scalars = rng.integers(0, 256, size=(NUM_OUTPUTS, n, NBYTES), dtype=np.uint8)
-    digits = engine.digit_decompose(jnp.asarray(scalars))
-    signs = jnp.zeros((NUM_OUTPUTS, n), jnp.uint8)
-    capacity = engine.choose_capacity(n)
+    n_table = handle.num_groups * handle.window_width
+    if n < n_table:
+        scalars = np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
+    sdev = jnp.asarray(scalars)
 
     t0 = time.time()
-    out = engine.msm_jit(
-        points, digits, signs,
-        num_outputs=NUM_OUTPUTS, num_windows=NBYTES, capacity=capacity,
+    out = fixed._query_jit(
+        handle.t_lo, handle.t_hi, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
     )
-    jax.block_until_ready(out.x)
+    np.asarray(out.x[:, :1])
     t_compile = time.time() - t0
 
     times = []
     for _ in range(SAMPLES):
         t0 = time.time()
-        out = engine.msm_jit(
-            points, digits, signs,
-            num_outputs=NUM_OUTPUTS, num_windows=NBYTES, capacity=capacity,
+        out = fixed._query_jit(
+            handle.t_lo, handle.t_hi, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
         )
-        jax.block_until_ready(out.x)
+        np.asarray(out.x[:, :1])  # D2H forces real completion on the tunnel
         times.append(time.time() - t0)
 
     best = min(times)
-    pps = n * NUM_OUTPUTS / best
+    pps = NUM_OUTPUTS * n / best
+    encoded = np.asarray(rst.encode(out)).T  # sanity: encodable output
+    assert encoded.shape == (NUM_OUTPUTS, 32)
+
     baseline = os.environ.get("BLITZAR_TPU_BASELINE_PPS")
-    vs = (pps / float(baseline)) if baseline else None
+    result = {
+        "metric": f"ristretto255_fixed_msm_2^{LOG_N}x{NUM_OUTPUTS}_points_per_s",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / float(baseline), 3) if baseline else None,
+    }
+    print(json.dumps(result))
     print(
         json.dumps(
             {
-                "metric": f"ristretto_pedersen_msm_2^{LOG_N}_points_per_sec",
-                "value": round(pps, 1),
-                "unit": "points/s",
-                "vs_baseline": vs,
                 "detail": {
-                    "n": n,
-                    "num_outputs": NUM_OUTPUTS,
-                    "element_nbytes": NBYTES,
-                    "best_s": round(best, 4),
-                    "all_s": [round(t, 4) for t in times],
-                    "compile_and_first_run_s": round(t_compile, 2),
-                    "generator_precompute_s": round(t_gen, 2),
+                    "best_ms": round(best * 1e3, 2),
+                    "all_ms": [round(t * 1e3, 2) for t in times],
+                    "setup_s": round(t_setup, 1),
+                    "compile_s": round(t_compile, 1),
+                    "window_width": WINDOW,
                     "device": str(jax.devices()[0]),
-                },
+                }
             }
-        )
+        ),
+        file=sys.stderr,
     )
 
 

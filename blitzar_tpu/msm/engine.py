@@ -249,11 +249,26 @@ def msm(points, data_list, nbytes_list, signed_list, curve=ed):
 
     Equivalent of reference mtxcrv::async_compute_multiexponentiation
     (reference multiexp/curve/multiexponentiation.h:147-208), curve-generic.
+
+    Engine selection (the reference picks bucket_method2 / bucket_method /
+    pippenger v1 by problem shape, multiexponentiation.h:147-200; we pick by
+    what maps to TPU): unsigned sequences use the sort-free partition-table
+    path (XLA's sort is ~100x off roofline on TPU, so the bucket engine's
+    sort+segment formulation loses to subset-sum tables built on the fly);
+    signed sequences need per-(output, point) negation, which shared tables
+    cannot express, so they take the bucket path.
     """
     scalars, signs, n = prepare_scalars(data_list, nbytes_list, signed_list)
     num_outputs, _, max_nbytes = scalars.shape
     if n == 0 or num_outputs == 0:
         return curve.identity((max(num_outputs, 0),))
+    if not any(signed_list):
+        from . import fixed as _fixed
+
+        if points.x.shape[-1] > n:
+            points = curve.index_batch(points, (slice(0, n),))
+        handle = _fixed.MultiexpHandle(points, window_width=8, curve=curve, n=n)
+        return _fixed.fixed_multiexponentiation(handle, scalars)
     # pad n to the next power of two (>= 8) to bound shape-specialized
     # recompiles; zero digits land in the excluded bucket 0
     n_pad = 8

@@ -43,22 +43,56 @@ def default_window_width() -> int:
     return int(v) if v else 8
 
 
+# group-chunk size for table building: bounds XLA temp memory (the
+# subset-doubling concats would otherwise hold several copies of the full
+# table in flight, which OOMs at n = 2^20)
+BUILD_CHUNK_GROUPS = 1 << 15
+
+
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _build_table(points, window_width: int, curve=ed):
     """points: (n,) batch, n a multiple of window_width ->
     (num_groups, 2^w) partition table: table[g, v] = sum_{j: bit j of v}
-    points[g*w + j]."""
+    points[g*w + j] (built by w subset-doubling steps,
+    table_{j+1} = [table_j | table_j + G_j])."""
     n = points.x.shape[-1]
     groups = n // window_width
     pts = curve.reshape_batch(points, (groups, window_width))
-    table = curve.identity((groups, 1))
-    for j in range(window_width):
-        gj = curve.index_batch(pts, (slice(None), j))  # (groups,)
-        shifted = curve.add(table, curve.make_point(*(c[..., None] for c in gj)))
-        table = curve.make_point(
-            *(jnp.concatenate([tc, sc], axis=-1) for tc, sc in zip(table, shifted))
-        )
-    return table
+
+    def build_chunk(chunk_pts):
+        table = curve.identity((chunk_pts[0].shape[1], 1))
+        chunk = curve.make_point(*chunk_pts)
+        for j in range(window_width):
+            gj = curve.index_batch(chunk, (slice(None), j))
+            shifted = curve.add(
+                table, curve.make_point(*(c[..., None] for c in gj))
+            )
+            table = curve.make_point(
+                *(
+                    jnp.concatenate([tc, sc], axis=-1)
+                    for tc, sc in zip(table, shifted)
+                )
+            )
+        return jnp.stack(list(table))  # (coords, nlimbs, gc, V)
+
+    gc = min(BUILD_CHUNK_GROUPS, groups)
+    while groups % gc:
+        gc -= 1
+    nchunks = groups // gc
+    if nchunks == 1:
+        out = build_chunk([c for c in pts])
+        return curve.make_point(*out)
+    chunked = [
+        c.reshape(curve.nlimbs, nchunks, gc, window_width).swapaxes(0, 1)
+        for c in pts
+    ]
+    out = lax.map(build_chunk, chunked)  # (nchunks, coords, nlimbs, gc, V)
+    v = out.shape[-1]
+    merged = [
+        jnp.moveaxis(out[:, k], 0, 1).reshape(curve.nlimbs, groups, v)
+        for k in range(curve.coord_count)
+    ]
+    return curve.make_point(*merged)
 
 
 class MultiexpHandle:
@@ -78,6 +112,7 @@ class MultiexpHandle:
             )
         self.table = _build_table(points, w, curve)
         self.num_groups = n_pad // w
+        self.t_lo, self.t_hi = _split_table(self.table, curve)
 
     # -- serialization (reference in_memory_partition_table_accessor.h:42-64:
     # window_width header + raw table; ours is an npz with the same content) --
@@ -105,60 +140,108 @@ class MultiexpHandle:
             *(jnp.asarray(data[f"coord{i}"]) for i in range(curve.coord_count))
         )
         obj.num_groups = obj.table.x.shape[-2]
+        obj.t_lo, obj.t_hi = _split_table(obj.table, curve)
         return obj
 
 
-# soft cap on the gathered (rows, groups) point slab, in bytes
-GATHER_BUDGET_BYTES = 1 << 30
+@functools.partial(jax.jit, static_argnames=("curve",))
+def _split_table_jit(table, curve):
+    """Point table (coords of (nlimbs, G, V) uint32) -> two bf16 tensors
+    (G, V, L), L = coord_count*nlimbs, holding the low/high bytes of each
+    limb. bf16 represents ints < 256 exactly, which is what makes the
+    one-hot-matmul lookup below exact."""
+    parts = []
+    for c in table:
+        parts.append(jnp.moveaxis(c, 0, -1))  # (G, V, nlimbs)
+    full = jnp.concatenate(parts, axis=-1)  # (G, V, L) uint32 (limbs < 2^16)
+    t_lo = (full & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+    t_hi = (full >> 8).astype(jnp.bfloat16)
+    return t_lo, t_hi
+
+
+def _split_table(table, curve):
+    return _split_table_jit(table, curve)
+
+
+# soft cap on the materialized one-hot tensor, in bytes
+ONEHOT_BUDGET_BYTES = 128 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
-def _partition_products(table, bit_rows, window_width: int, curve=ed):
-    """table: (groups, 2^w) points; bit_rows: (R, groups*w) uint8 in {0,1}.
-    Returns (R,) points: sum_g table[g, pack(bits[r, g*w:(g+1)*w])]."""
+def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
+    """t_lo/t_hi: (G, 2^w, L) bf16 byte-split table; bit_rows: (R, G*w) uint8
+    in {0, 1}. Returns (R,) points: sum_g table[g, pack(bits[r, g*w:(g+1)*w])].
+
+    The per-(row, group) table lookup is a one-hot contraction on the MXU —
+    einsum('rgv,gvl->rgl') with an exact 0/1 one-hot — instead of an XLA
+    gather (measured ~50x slower on TPU). The selected byte-planes are
+    recombined to uint32 limbs and the groups are point-tree-reduced with the
+    Pallas group-law kernels."""
     r_rows, n = bit_rows.shape
-    groups = n // window_width
+    groups, v, l_dim = t_lo.shape
+    assert groups * window_width == n
+    nlimbs = curve.nlimbs
     weights = (1 << np.arange(window_width, dtype=np.int32))[None, None, :]
     idx = jnp.sum(
         bit_rows.reshape(r_rows, groups, window_width).astype(jnp.int32)
         * jnp.asarray(weights),
         axis=-1,
-    )  # (R, groups)
+    )  # (R, G)
 
-    nlimbs = curve.nlimbs
-    per_row = groups * nlimbs * curve.coord_count * 4 * 2
-    blk = min(max(1, GATHER_BUDGET_BYTES // per_row), r_rows)
-    if r_rows % blk:
-        blk = 1 << max(int(blk).bit_length() - 1, 0)
-        while r_rows % blk:
-            blk //= 2
-        blk = max(blk, 1)
+    gc = max(1, ONEHOT_BUDGET_BYTES // (r_rows * v * 2))
+    gc = min(gc, groups)
+    while groups % gc:
+        gc -= 1
+    nchunks = groups // gc
 
-    def gather_reduce(idx_blk):
-        # coords (nlimbs, G, V) + idx (B, G) -> (nlimbs, B, G)
-        gathered = curve.make_point(
-            *(
-                jnp.take_along_axis(
-                    c[:, None, :, :],
-                    idx_blk[None, :, :, None],
-                    axis=3,
-                ).squeeze(3)
-                for c in table
-            )
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (r_rows, gc, v), 2)
+
+    def chunk(args):
+        idx_c, lo_c, hi_c = args
+        onehot = (idx_c[:, :, None] == iota_v).astype(jnp.bfloat16)
+        sel_lo = jnp.einsum(
+            "rgv,gvl->rgl", onehot, lo_c, preferred_element_type=jnp.float32
         )
-        return curve.tree_reduce(gathered, groups)
+        sel_hi = jnp.einsum(
+            "rgv,gvl->rgl", onehot, hi_c, preferred_element_type=jnp.float32
+        )
+        sel = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8)
+        coords = [
+            jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
+            for k in range(curve.coord_count)
+        ]
+        pts = curve.make_point(*coords)  # (nlimbs, R, gc)
+        red = curve.tree_reduce(pts, gc)  # (R,)
+        return jnp.stack(list(red))  # (coords, nlimbs, R)
 
-    nblocks = r_rows // blk
-    out = lax.map(gather_reduce, idx.reshape(nblocks, blk, groups))
-    return curve.make_point(
-        *(jnp.moveaxis(c, 0, 1).reshape(nlimbs, r_rows) for c in out)
-    )
+    out = lax.map(
+        chunk,
+        (
+            idx.reshape(r_rows, nchunks, gc).swapaxes(0, 1),
+            t_lo.reshape(nchunks, gc, v, l_dim),
+            t_hi.reshape(nchunks, gc, v, l_dim),
+        ),
+    )  # (nchunks, coords, nlimbs, R)
+    parts = curve.make_point(*(jnp.moveaxis(out[:, k], 0, -1) for k in range(curve.coord_count)))
+    return curve.tree_reduce(parts, nchunks)  # (R,)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bits", "curve"))
 def _doubling_combine(products, num_bits: int, curve=ed):
     """(O, num_bits) bit products -> (O,): sum_b 2^b * products[:, b]
-    (reference pippenger2/reduce.h:37-48)."""
+    (reference pippenger2/reduce.h:37-48). On TPU (curve25519) the whole
+    ladder runs inside one Pallas kernel — its widths are tiny, so dispatch
+    overhead would otherwise dominate."""
+    from ..ops import pallas_point as pp
+
+    o = products.x.shape[1]
+    if (
+        curve is ed
+        and pp.use_pallas()
+        and num_bits > 1
+        and pp.combine_fits(o, num_bits)
+    ):
+        return pp.doubling_combine(products, num_bits)
     acc = curve.make_point(*(c[:, :, num_bits - 1] for c in products))
     if num_bits == 1:
         return acc
@@ -181,6 +264,25 @@ def _bits_from_bytes(scalars: np.ndarray) -> np.ndarray:
     return np.transpose(bits, (0, 2, 1))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
+)
+def _query_jit(t_lo, t_hi, scalars_dev, window_width, num_outputs, nbits, curve):
+    """One fused device program: unpack scalar bytes to bit rows, run the
+    one-hot-matmul partition products, doubling-combine bits into outputs.
+    Keeping the unpack on device means the host uploads only the raw scalar
+    bytes (the bit matrix is 8x bigger — that matters across a slow link)."""
+    o, n_table, nbytes = scalars_dev.shape
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+    bits = (scalars_dev[:, :, :, None] >> shifts) & jnp.uint8(1)  # (O,n,nb,8)
+    rows = bits.reshape(o, n_table, nbits).transpose(0, 2, 1).reshape(
+        o * nbits, n_table
+    )
+    products = _partition_products(t_lo, t_hi, rows, window_width, curve)
+    products = curve.reshape_batch(products, (num_outputs, nbits))
+    return _doubling_combine(products, nbits, curve)
+
+
 def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
     """scalars: (num_outputs, n, element_num_bytes) uint8 -> (num_outputs,)
     points (reference sxt_fixed_multiexponentiation, blitzar_api.h:685)."""
@@ -193,12 +295,10 @@ def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
     n_table = handle.num_groups * handle.window_width
     if n < n_table:
         scalars = np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
-    bits = _bits_from_bytes(scalars)  # (O, nbits, n_table)
-    nbits = 8 * nbytes
-    rows = jnp.asarray(bits.reshape(num_outputs * nbits, n_table))
-    products = _partition_products(handle.table, rows, handle.window_width, curve)
-    products = curve.reshape_batch(products, (num_outputs, nbits))
-    return _doubling_combine(products, nbits, curve)
+    return _query_jit(
+        handle.t_lo, handle.t_hi, jnp.asarray(scalars), handle.window_width,
+        num_outputs, 8 * nbytes, curve,
+    )
 
 
 def _unpack_packed_scalars(
@@ -274,7 +374,7 @@ def _packed_core(handle, rows_np, output_bit_table, output_lengths):
         for o, length in enumerate(output_lengths):
             rows_np[starts[o] : starts[o + 1], length:] = 0
     products = _partition_products(
-        handle.table, jnp.asarray(rows_np), handle.window_width, curve
+        handle.t_lo, handle.t_hi, jnp.asarray(rows_np), handle.window_width, curve
     )
     # combine each output's bit range (bit counts may differ per output)
     outputs = []

@@ -138,3 +138,70 @@ def double(p, interpret: bool = False):
 
     out = _run(list(p), _double_tiled, interpret)
     return ed.PointP3(*out)
+
+
+# ---------------------------------------------------------------------------
+# fused doubling-ladder combine: out[o] = sum_b 2^b * products[o, b]
+# (reference pippenger2/reduce.h doubling reduction). One kernel instead of
+# num_bits sequential (double + add) dispatches — the ladder's tiny widths
+# make per-op dispatch overhead dominate outside a kernel.
+# ---------------------------------------------------------------------------
+
+
+def _combine_body_factory(num_bits: int):
+    # input layout (16, num_bits, O): the bit axis rides the SUBLANE dim so
+    # the ladder's dynamic per-bit slice is a ref sublane slice (dynamic LANE
+    # indices must be 128-aligned in Mosaic, sublane indices need not be)
+    def body(px, py, pz, pt, ox, oy, oz, ot):
+        from jax import lax as _lax
+
+        from ..curves import edwards25519 as ed
+
+        refs = (px, py, pz, pt)
+        with F.diag_mode():
+            acc = ed.PointP3(*(r[:, num_bits - 1, :] for r in refs))
+
+            def step(i, acc):
+                acc = ed._double_impl(acc)
+                b = num_bits - 2 - i
+                row = ed.PointP3(
+                    *(r[:, pl.ds(b, 1), :][:, 0, :] for r in refs)
+                )
+                return ed._add_impl(acc, row)
+
+            if num_bits > 1:
+                acc = _lax.fori_loop(0, num_bits - 1, step, acc)
+        ox[:], oy[:], oz[:], ot[:] = acc.x, acc.y, acc.z, acc.t
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits", "interpret"))
+def _combine_tiled(coords, num_bits: int, interpret: bool):
+    # coords arrive as (16, O, num_bits); present them as (16, num_bits, O)
+    coords = [jnp.swapaxes(c, 1, 2) for c in coords]
+    o = coords[0].shape[2]
+    out_shape = [jax.ShapeDtypeStruct((F.NLIMBS, o), jnp.uint32) for _ in range(4)]
+    return pl.pallas_call(
+        _combine_body_factory(num_bits),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+# VMEM guard: inputs are O * num_bits * 4 coords * 64B
+COMBINE_VMEM_BUDGET = 6 << 20
+
+
+def doubling_combine(products, num_bits: int, interpret: bool = False):
+    """products: point batch (O, num_bits) -> (O,)."""
+    from ..curves import edwards25519 as ed
+
+    out = _combine_tiled(list(products), num_bits, interpret)
+    return ed.PointP3(*out)
+
+
+def combine_fits(o: int, num_bits: int) -> bool:
+    return o * num_bits * 4 * F.NLIMBS * 4 * 3 <= COMBINE_VMEM_BUDGET
