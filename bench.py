@@ -34,8 +34,8 @@ LOG_N = int(os.environ.get("BLITZAR_TPU_BENCH_LOG_N", "20"))
 NUM_OUTPUTS = int(os.environ.get("BLITZAR_TPU_BENCH_OUTPUTS", "1"))
 NBYTES = 32
 SAMPLES = int(os.environ.get("BLITZAR_TPU_BENCH_SAMPLES", "3"))
-# w=8 tables need 32n points; keep them under ~2.5 GB on-chip
-WINDOW = int(os.environ.get("BLITZAR_TPU_BENCH_WINDOW", "8" if LOG_N <= 17 else "4"))
+# w=8 tables store 32 bf16-split points per input point (~8.6 GB at 2^20)
+WINDOW = int(os.environ.get("BLITZAR_TPU_BENCH_WINDOW", "8" if LOG_N <= 20 else "4"))
 
 
 def main():

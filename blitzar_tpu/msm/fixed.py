@@ -44,9 +44,9 @@ def default_window_width() -> int:
 
 
 # group-chunk size for table building: bounds XLA temp memory (the
-# subset-doubling concats would otherwise hold several copies of the full
-# table in flight, which OOMs at n = 2^20)
-BUILD_CHUNK_GROUPS = 1 << 15
+# subset-doubling concats hold several copies of the chunk's table in
+# flight; small chunks keep the build program's peak near the output size)
+BUILD_CHUNK_GROUPS = 1 << 12
 
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
@@ -95,6 +95,56 @@ def _build_table(points, window_width: int, curve=ed):
     return curve.make_point(*merged)
 
 
+@functools.partial(jax.jit, static_argnames=("window_width", "curve"))
+def _build_split_table(points, window_width: int, curve=ed):
+    """Like _build_table followed by _split_table, but chunked so the full
+    uint32 point table is never materialized — each group chunk is built and
+    immediately byte-split to bf16. Returns (t_lo, t_hi) of (G, 2^w, L).
+    This is what lets w=8 tables (32 points stored per input point) fit in
+    HBM at n = 2^20."""
+    n = points.x.shape[-1]
+    groups = n // window_width
+    pts = curve.reshape_batch(points, (groups, window_width))
+    nl = curve.nlimbs
+
+    def build_chunk(chunk_pts):
+        gc_local = chunk_pts[0].shape[1]
+        table = curve.identity((gc_local, 1))
+        chunk = curve.make_point(*chunk_pts)
+        for j in range(window_width):
+            gj = curve.index_batch(chunk, (slice(None), j))
+            shifted = curve.add(
+                table, curve.make_point(*(c[..., None] for c in gj))
+            )
+            table = curve.make_point(
+                *(
+                    jnp.concatenate([tc, sc], axis=-1)
+                    for tc, sc in zip(table, shifted)
+                )
+            )
+        full = jnp.concatenate(
+            [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
+        )  # (gc, V, L)
+        return (
+            (full & jnp.uint32(0xFF)).astype(jnp.bfloat16),
+            (full >> 8).astype(jnp.bfloat16),
+        )
+
+    gc = min(BUILD_CHUNK_GROUPS, groups)
+    while groups % gc:
+        gc -= 1
+    nchunks = groups // gc
+    if nchunks == 1:
+        lo, hi = build_chunk([c for c in pts])
+        return lo, hi
+    chunked = [
+        c.reshape(nl, nchunks, gc, window_width).swapaxes(0, 1) for c in pts
+    ]
+    lo, hi = lax.map(build_chunk, chunked)  # (nchunks, gc, V, L)
+    v, l_dim = lo.shape[-2], lo.shape[-1]
+    return lo.reshape(groups, v, l_dim), hi.reshape(groups, v, l_dim)
+
+
 class MultiexpHandle:
     """Reference sxt_multiexp_handle (blitzar_api.h:184, multiexp_handle.h):
     precomputed partition tables for a fixed generator sequence."""
@@ -110,12 +160,29 @@ class MultiexpHandle:
             points = curve.make_point(
                 *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
             )
-        self.table = _build_table(points, w, curve)
         self.num_groups = n_pad // w
-        self.t_lo, self.t_hi = _split_table(self.table, curve)
+        self.t_lo, self.t_hi = _build_split_table(points, w, curve)
+        # the uint32 point table is reconstructed on demand (write_to_file)
+        self.table = None
 
     # -- serialization (reference in_memory_partition_table_accessor.h:42-64:
     # window_width header + raw table; ours is an npz with the same content) --
+
+    def _point_table(self):
+        if self.table is not None:
+            return self.table
+        curve = self.curve
+        nl = curve.nlimbs
+        full = (
+            jnp.asarray(self.t_lo).astype(jnp.uint32)
+            | (jnp.asarray(self.t_hi).astype(jnp.uint32) << 8)
+        )  # (G, V, L)
+        return curve.make_point(
+            *(
+                jnp.moveaxis(full[..., k * nl : (k + 1) * nl], -1, 0)
+                for k in range(curve.coord_count)
+            )
+        )
 
     def write_to_file(self, path: str) -> None:
         np.savez(
@@ -123,7 +190,7 @@ class MultiexpHandle:
             curve=self.curve.name,
             window_width=self.window_width,
             n=self.n,
-            **{f"coord{i}": np.asarray(c) for i, c in enumerate(self.table)},
+            **{f"coord{i}": np.asarray(c) for i, c in enumerate(self._point_table())},
         )
 
     @classmethod

@@ -76,12 +76,82 @@ def msm_sharded_jit(
     )(points, digits, signs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_width", "num_outputs", "nbits", "mesh", "curve"),
+)
+def msm_partition_sharded_jit(
+    points, scalars_dev, window_width: int, num_outputs: int, nbits: int,
+    mesh: Mesh, curve=ed,
+):
+    """Partition-table MSM sharded over the point axis.
+
+    Each device builds partition tables for its contiguous generator slice
+    and computes local per-bit partial products; the (num_outputs * nbits,)
+    partial points are all-gathered (O(outputs * bits) communication,
+    independent of n — the multi-chip shape of reference
+    pippenger2/multiexponentiation.h:99-133) and folded, then the doubling
+    ladder runs replicated."""
+    from . import fixed as _fixed
+
+    def local(pts, scal):
+        table = _fixed._build_table(curve.make_point(*pts), window_width, curve)
+        t_lo, t_hi = _fixed._split_table_jit(table, curve)
+        o, n_local, nbytes = scal.shape
+        shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+        bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
+        rows = bits.reshape(o, n_local, nbits).transpose(0, 2, 1).reshape(
+            o * nbits, n_local
+        )
+        products = _fixed._partition_products(t_lo, t_hi, rows, window_width, curve)
+        gathered = jax.lax.all_gather(jnp.stack(list(products)), AXIS)
+        # (D, coords, nlimbs, R) -> fold over D
+        parts = curve.make_point(
+            *(jnp.moveaxis(gathered[:, k], 0, -1) for k in range(curve.coord_count))
+        )
+        total = curve.tree_reduce(parts, mesh.size)  # (R,)
+        prods = curve.reshape_batch(total, (num_outputs, nbits))
+        return _fixed._doubling_combine(prods, nbits, curve)
+
+    shard_pt = P(None, AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=([shard_pt] * curve.coord_count, P(None, AXIS, None)),
+        out_specs=curve.make_point(*([P()] * curve.coord_count)),
+        check_vma=False,
+    )(list(points), scalars_dev)
+
+
+def msm_partition(mesh: Mesh, points, scalars, n: int, curve=ed):
+    """scalars: (O, n, nbytes) uint8 (unsigned); points: (>= n,) batch."""
+    num_outputs, _, nbytes = scalars.shape
+    d = mesh.size
+    w = 8 if n <= (1 << 20) else 4
+    n_pad = -(-n // (d * w)) * (d * w)
+    if scalars.shape[1] < n_pad:
+        scalars = np.pad(scalars, ((0, 0), (0, n_pad - scalars.shape[1]), (0, 0)))
+    npts = points.x.shape[-1]
+    if npts < n_pad:
+        pad = curve.identity((n_pad - npts,))
+        points = curve.make_point(
+            *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
+        )
+    elif npts > n_pad:
+        points = curve.index_batch(points, (slice(0, n_pad),))
+    return msm_partition_sharded_jit(
+        points, jnp.asarray(scalars), w, num_outputs, 8 * nbytes, mesh, curve
+    )
+
+
 def msm(mesh: Mesh, points, data_list, nbytes_list, signed_list, curve=ed):
     """Host entry: sharded generalized Pedersen MSM over shared generators."""
     scalars, signs, n = engine.prepare_scalars(data_list, nbytes_list, signed_list)
     num_outputs, _, max_nbytes = scalars.shape
     if n == 0 or num_outputs == 0:
         return curve.identity((max(num_outputs, 0),))
+    if not any(signed_list):
+        return msm_partition(mesh, points, scalars, n, curve)
     # pad n to a power of two >= 8 * mesh size so shards are equal
     n_pad = 8 * mesh.size
     while n_pad < n:

@@ -70,15 +70,20 @@ def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("mid", "capacity"))
-def _commit_to_fold(a, b, gens_plus_q: ed.PointP3, mid: int, capacity: int):
+@functools.partial(jax.jit, static_argnames=("mid",))
+def _commit_to_fold(a, b, gens_plus_q: ed.PointP3, mid: int):
     """One fused 2-output MSM computing L and R.
 
     a, b: (nlimbs, 2*mid) Montgomery scalars; gens_plus_q: (2*mid + 1,) points
     [G | Q]. Output 0 scalars put a_lo against G_hi and cL against Q; output 1
     puts a_hi against G_lo and cR against Q (reference gpu_driver.cc:49-65).
+    Runs through the sort-free partition-table engine (msm/fixed.py) — the
+    per-round tables over the folded generators are built on the fly.
     Returns (2, 32) uint8 compressed [L, R].
     """
+    from ..msm import fixed as _fixed
+
+    w = 4
     np_ = 2 * mid
     a_lo, a_hi = a[:, :mid], a[:, mid:]
     b_lo, b_hi = b[:, :mid], b[:, mid:]
@@ -87,12 +92,23 @@ def _commit_to_fold(a, b, gens_plus_q: ed.PointP3, mid: int, capacity: int):
     zeros = S.zeros((mid,))
     s0 = jnp.concatenate([zeros, a_lo, c_l], axis=-1)
     s1 = jnp.concatenate([a_hi, zeros, c_r], axis=-1)
-    digits = jnp.stack(
-        [S.to_bytes_le(s0).astype(jnp.int32), S.to_bytes_le(s1).astype(jnp.int32)]
-    ).reshape(2 * 32, np_ + 1)
-    signs = jnp.zeros((2 * 32, np_ + 1), jnp.uint32)
-    buckets = engine.bucket_accumulate_chunked(gens_plus_q, digits, signs, capacity)
-    out = engine.combine_buckets(buckets, 2, 32)
+    scal_bytes = jnp.stack(
+        [S.to_bytes_le(s0).T, S.to_bytes_le(s1).T]
+    )  # (2, np_+1, 32) uint8
+    n_pts = np_ + 1
+    n_pad = -(-n_pts // w) * w
+    if n_pad > n_pts:
+        pad_pt = ed.identity((n_pad - n_pts,))
+        gens_plus_q = ed.PointP3(
+            *(
+                jnp.concatenate([gc, pc], axis=-1)
+                for gc, pc in zip(gens_plus_q, pad_pt)
+            )
+        )
+        scal_bytes = jnp.pad(scal_bytes, ((0, 0), (0, n_pad - n_pts), (0, 0)))
+    table = _fixed._build_table(gens_plus_q, w, ed)
+    t_lo, t_hi = _fixed._split_table_jit(table, ed)
+    out = _fixed._query_jit(t_lo, t_hi, scal_bytes, w, 2, 256, ed)
     return rst.encode(out).T  # (2, 32)
 
 
@@ -195,9 +211,7 @@ def prove_inner_product(
     cur = np_
     for round_index in range(num_rounds):
         mid = cur // 2
-        lr = np.asarray(
-            _commit_to_fold(a, b, gens, mid, engine.choose_capacity(cur + 1))
-        )
+        lr = np.asarray(_commit_to_fold(a, b, gens, mid))
         l_out[round_index] = lr[0]
         r_out[round_index] = lr[1]
         x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
