@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Benchmark sweep driver, mirroring reference benchmark/scripts/run_benchmarks.py
+(n in {10^4, 10^5, 10^6}, num_commitments in {1, 10}, element_nbytes in
+{1, 32}, timed samples) plus the other reference benchmark executables:
+
+  pedersen      — dynamic-generator Pedersen commitments (multi_commitment)
+  fixed         — fixed-generator MSM w/ partition tables (multi_exp_pip)
+  vlen          — variable-length fixed MSM (multi_exp_triangle)
+  ipa           — inner-product proof prove+verify (inner_product_proof)
+  sumcheck      — sumcheck prover (sumcheck)
+  primitives    — field add/mul + curve add microbenchmarks (primitives)
+
+Each result is one JSON line on stdout. Timing forces completion with a D2H
+copy (block_until_ready does not block on the axon tunnel platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    np.asarray(x)
+
+
+def _time(fn, samples):
+    fn()  # warm/compile
+    times = []
+    for _ in range(samples):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def _emit(name, params, seconds, work=None):
+    rec = {"benchmark": name, **params, "seconds": round(seconds, 5)}
+    if work:
+        rec["per_second"] = round(work / seconds, 1)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_pedersen(ns, num_commitments_list, nbytes_list, samples):
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import engine
+
+    rng = np.random.default_rng(97834978)
+    for n in ns:
+        points = gen.ristretto_generators(n)
+        for num_outputs in num_commitments_list:
+            for nbytes in nbytes_list:
+                data = [
+                    rng.integers(0, 256, size=(n, nbytes), dtype=np.uint8)
+                    for _ in range(num_outputs)
+                ]
+
+                def run():
+                    out = engine.msm(
+                        points, data, [nbytes] * num_outputs, [False] * num_outputs
+                    )
+                    _sync(out.x[:, :1])
+
+                dt = _time(run, samples)
+                _emit(
+                    "pedersen",
+                    {"n": n, "num_commitments": num_outputs, "element_nbytes": nbytes},
+                    dt,
+                    work=n * num_outputs,
+                )
+
+
+def bench_fixed(ns, curves, samples):
+    from blitzar_tpu import api
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import fixed
+
+    rng = np.random.default_rng(1)
+    for curve_name in curves:
+        curve_id = {"ristretto255": 0, "bls12-381": 1, "bn254": 2, "grumpkin": 3}[
+            curve_name
+        ]
+        curve = api.CURVES[curve_id]
+        for n in ns:
+            if curve_id == 0:
+                points = gen.ristretto_generators(n)
+            else:
+                points = curve.from_affine_ints(curve.oracle.random_points(min(n, 512)))
+                reps = -(-n // points.x.shape[-1])
+                points = curve.make_point(
+                    *(jnp.tile(c, (1, reps))[:, :n] for c in points)
+                )
+            handle = fixed.MultiexpHandle(points, curve=curve, n=n)
+            scalars = rng.integers(0, 256, size=(1, n, 32), dtype=np.uint8)
+
+            def run():
+                out = fixed.fixed_multiexponentiation(handle, scalars)
+                _sync(out.x[:, :1])
+
+            dt = _time(run, samples)
+            _emit("fixed", {"curve": curve_name, "n": n}, dt, work=n)
+
+
+def bench_vlen(n, num_outputs, samples):
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import fixed
+
+    rng = np.random.default_rng(2)
+    points = gen.ristretto_generators(n)
+    handle = fixed.MultiexpHandle(points, n=n)
+    bit_table = [32] * num_outputs
+    lengths = sorted(
+        int(v) for v in np.linspace(max(n // num_outputs, 1), n, num_outputs)
+    )
+    bit_sum = sum(bit_table)
+    packed = rng.integers(0, 256, size=(n * (-(-bit_sum // 8)),), dtype=np.uint8)
+
+    def run():
+        out = fixed.fixed_vlen_multiexponentiation(handle, bit_table, lengths, packed)
+        _sync(out.x[:, :1])
+
+    dt = _time(run, samples)
+    _emit("vlen", {"n": n, "num_outputs": num_outputs}, dt, work=sum(lengths))
+
+
+def bench_ipa(ns, samples):
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import engine
+    from blitzar_tpu.proof import inner_product as ipa
+    from blitzar_tpu.proof.transcript import Transcript
+
+    rng = np.random.default_rng(3)
+    for n in ns:
+        np_ = 1 << ipa.ceil_log2(n)
+        g = gen.ristretto_generators(np_)
+        q = gen.ristretto_generators(1, offset=np_)
+        a = [int(v) for v in rng.integers(1, 2**62, size=n)]
+        b = [int(v) for v in rng.integers(1, 2**62, size=n)]
+
+        def prove():
+            return ipa.prove_inner_product(Transcript(b"bench"), a, b, g, q)
+
+        t0 = time.time()
+        l_vec, r_vec, ap = prove()
+        warm = time.time() - t0
+        t0 = time.time()
+        for _ in range(samples):
+            l_vec, r_vec, ap = prove()
+        dt_prove = (time.time() - t0) / samples
+
+        product = sum(x * y for x, y in zip(a, b)) % ipa.ORDER
+        data = np.zeros((n, 32), np.uint8)
+        for i, v in enumerate(a):
+            data[i] = np.frombuffer(int(v).to_bytes(32, "little"), np.uint8)
+        a_commit = engine.msm(
+            engine.ed.index_batch(g, (slice(0, n),)), [data], [32], [False]
+        )
+
+        def verify():
+            return ipa.verify_inner_product(
+                Transcript(b"bench"), b, product, a_commit, l_vec, r_vec, ap, g, q
+            )
+
+        assert verify()
+        t0 = time.time()
+        for _ in range(samples):
+            verify()
+        dt_verify = (time.time() - t0) / samples
+        _emit("ipa_prove", {"n": n, "warm_s": round(warm, 2)}, dt_prove)
+        _emit("ipa_verify", {"n": n}, dt_verify)
+
+
+def bench_sumcheck(n, degree, num_products, samples):
+    from blitzar_tpu.proof import sumcheck as sc
+    from blitzar_tpu.proof.transcript import Transcript
+
+    rng = np.random.default_rng(4)
+    num_mles = max(degree, 2)
+    mles = [
+        [int(v) for v in rng.integers(0, 2**62, size=n)] for _ in range(num_mles)
+    ]
+    product_table = [(1, degree) for _ in range(num_products)]
+    product_terms = []
+    for p in range(num_products):
+        product_terms += [(p + j) % num_mles for j in range(degree)]
+
+    def run():
+        sc.prove_sum(
+            sc.ReferenceSumcheckTranscript(Transcript(b"bench"), sc.SCALAR25519_CODEC),
+            mles, product_table, product_terms, n,
+        )
+
+    dt = _time(run, samples)
+    _emit(
+        "sumcheck",
+        {"n": n, "degree": degree, "num_products": num_products},
+        dt,
+        work=n * num_products,
+    )
+
+
+def bench_primitives(samples):
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.curves import edwards25519 as ed
+    from blitzar_tpu.fields import fp25519 as F
+
+    n = 1 << 17
+    g = gen.ristretto_generators(n)
+
+    add_jit = jax.jit(lambda p, q: ed.add(p, q))
+    _sync(add_jit(g, g).x[:, :1])
+
+    def curve_add():
+        _sync(add_jit(g, g).x[:, :1])
+
+    dt = _time(curve_add, samples)
+    _emit("primitives_curve_add", {"n": n}, dt, work=n)
+
+    fmul = jax.jit(F.mul)
+    _sync(fmul(g.x, g.y)[:, :1])
+
+    def field_mul():
+        _sync(fmul(g.x, g.y)[:, :1])
+
+    dt = _time(field_mul, samples)
+    _emit("primitives_field_mul", {"n": n}, dt, work=n)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--suite",
+        default="pedersen",
+        choices=["pedersen", "fixed", "vlen", "ipa", "sumcheck", "primitives", "all"],
+    )
+    parser.add_argument("--samples", type=int, default=3)
+    parser.add_argument("--quick", action="store_true", help="small sizes only")
+    args = parser.parse_args()
+
+    ns = [10**4] if args.quick else [10**4, 10**5, 10**6]
+    suites = (
+        ["pedersen", "fixed", "vlen", "ipa", "sumcheck", "primitives"]
+        if args.suite == "all"
+        else [args.suite]
+    )
+    for suite in suites:
+        if suite == "pedersen":
+            bench_pedersen(ns, [1, 10], [1, 32], args.samples)
+        elif suite == "fixed":
+            bench_fixed(ns, ["ristretto255", "bls12-381", "bn254", "grumpkin"], args.samples)
+        elif suite == "vlen":
+            bench_vlen(ns[0], 10, args.samples)
+        elif suite == "ipa":
+            bench_ipa(ns, args.samples)
+        elif suite == "sumcheck":
+            bench_sumcheck(ns[0], 3, 2, args.samples)
+        elif suite == "primitives":
+            bench_primitives(args.samples)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,19 +56,41 @@ class WCurve:
 
     # -- constants -----------------------------------------------------------
 
-    def _b3(self, batch_ndim: int):
-        return self.field._const(self.b3 * self.field.r % self.field.modulus, batch_ndim)
-
     def identity(self, batch_shape=()) -> PointP2:
         F = self.field
         return PointP2(F.zeros(batch_shape), F.one(batch_shape), F.zeros(batch_shape))
 
     # -- group law -------------------------------------------------------------
 
+    def _batch_lanes(self, p: PointP2) -> int:
+        n = 1
+        for d in p.x.shape[1:]:
+            n *= int(d)
+        return n
+
     def add(self, p: PointP2, q: PointP2) -> PointP2:
+        """Dispatch: Pallas kernel on TPU (one Mosaic-compiled body — see
+        ops/pallas_point.py), plain jnp otherwise."""
+        from ..ops import pallas_point as pp
+
+        if (
+            p.x.shape == q.x.shape
+            and self._batch_lanes(p) >= pp.MIN_LANES
+            and pp.use_pallas()
+        ):
+            return pp.wadd(self, p, q)
+        return self._add_impl(p, q)
+
+    def double(self, p: PointP2) -> PointP2:
+        from ..ops import pallas_point as pp
+
+        if self._batch_lanes(p) >= pp.MIN_LANES and pp.use_pallas():
+            return pp.wdouble(self, p)
+        return self._double_impl(p)
+
+    def _add_impl(self, p: PointP2, q: PointP2) -> PointP2:
         """Complete addition, a = 0 (Renes-Costello-Batina Algorithm 7)."""
         F = self.field
-        b3 = self._b3(max(p.x.ndim, q.x.ndim) - 1)
         t0 = F.mul(p.x, q.x)
         t1 = F.mul(p.y, q.y)
         t2 = F.mul(p.z, q.z)
@@ -79,25 +101,24 @@ class WCurve:
         x3 = F.mul(F.add(p.x, p.z), F.add(q.x, q.z))
         y3 = F.sub(x3, F.add(t0, t2))  # x1z2 + x2z1
         t0 = F.add(F.add(t0, t0), t0)  # 3*x1x2
-        t2 = F.mul(b3, t2)
+        t2 = F.mul_const(t2, self.b3)
         z3 = F.add(t1, t2)
         t1 = F.sub(t1, t2)
-        y3 = F.mul(b3, y3)
+        y3 = F.mul_const(y3, self.b3)
         x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
         y3 = F.add(F.mul(t1, z3), F.mul(y3, t0))
         z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
         return PointP2(x3, y3, z3)
 
-    def double(self, p: PointP2) -> PointP2:
+    def _double_impl(self, p: PointP2) -> PointP2:
         """Complete doubling, a = 0 (Renes-Costello-Batina Algorithm 9)."""
         F = self.field
-        b3 = self._b3(p.x.ndim - 1)
         t0 = F.mul(p.y, p.y)
         z3 = F.add(t0, t0)
         z3 = F.add(z3, z3)
         z3 = F.add(z3, z3)  # 8*y^2
         t1 = F.mul(p.y, p.z)
-        t2 = F.mul(b3, F.mul(p.z, p.z))
+        t2 = F.mul_const(F.mul(p.z, p.z), self.b3)
         x3 = F.mul(t2, z3)
         y3 = F.add(t0, t2)
         z3 = F.mul(t1, z3)

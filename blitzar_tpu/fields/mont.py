@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-MASK = jnp.uint32(0xFFFF)
+# Python-int constants are inlined as immediates (Pallas kernel bodies
+# reject captured device arrays; weak typing keeps uint32 semantics)
+MASK = 0xFFFF
 
 _DIAG = [False]
 
@@ -97,40 +99,56 @@ class MontField:
 
     def _carry_rows(self, rows):
         out = []
-        c = jnp.zeros_like(rows[0])
+        c = None
         for i in range(len(rows)):
-            t = rows[i] + c
+            t = rows[i] if c is None else rows[i] + c
             out.append(t & MASK)
             c = t >> 16
         return out, c
 
     def _sub_borrow(self, rows, sub_limbs):
+        """sub_limbs: python-int limbs."""
         out = []
-        borrow = jnp.zeros_like(rows[0])
+        borrow = None
         for i in range(self.nlimbs):
-            t = rows[i] + jnp.uint32(0x10000) - sub_limbs[i] - borrow
+            t = rows[i] + (0x10000 - int(sub_limbs[i]))
+            if borrow is not None:
+                t = t - borrow
             out.append(t & MASK)
-            borrow = jnp.uint32(1) - (t >> 16)
+            borrow = 1 - (t >> 16)
         return out, borrow
 
     def _cond_sub_m(self, rows, overflow):
         """rows (nlimbs, canonical-limb), overflow in {0,1}: value may be in
         [0, 2m); subtract m when overflow or rows >= m."""
-        mod_rows = [jnp.uint32(int(v)) for v in self.mod_limbs]
-        d, borrow = self._sub_borrow(rows, mod_rows)
+        d, borrow = self._sub_borrow(rows, [int(v) for v in self.mod_limbs])
         take_d = (overflow == 1) | (borrow == 0)
         return [jnp.where(take_d, dv, rv) for dv, rv in zip(d, rows)]
 
     # -- ring ops -------------------------------------------------------------
 
     def add(self, a, b):
-        rows, c = self._carry_rows(list(a + b))
+        rows, c = self._carry_rows([a[i] + b[i] for i in range(self.nlimbs)])
         return jnp.stack(self._cond_sub_m(rows, c))
 
+    def _sub_borrow_arr(self, rows, sub_rows):
+        """Borrow-chain subtraction where the subtrahend is per-lane data."""
+        out = []
+        borrow = None
+        for i in range(self.nlimbs):
+            t = rows[i] + 0x10000 - sub_rows[i]
+            if borrow is not None:
+                t = t - borrow
+            out.append(t & MASK)
+            borrow = 1 - (t >> 16)
+        return out, borrow
+
     def sub(self, a, b):
-        d, borrow = self._sub_borrow(list(a), list(b))
-        mod_rows = self._const(self.modulus, a.ndim - 1)
-        add_back = [dv + mv * borrow for dv, mv in zip(d, mod_rows)]
+        d, borrow = self._sub_borrow_arr(
+            [a[i] for i in range(self.nlimbs)], [b[i] for i in range(self.nlimbs)]
+        )
+        mod_ints = [int(v) for v in self.mod_limbs]
+        add_back = [dv + mv * borrow for dv, mv in zip(d, mod_ints)]
         rows, _ = self._carry_rows(add_back)  # carry-out (the 2^radix) drops
         return jnp.stack(rows)
 
@@ -194,10 +212,10 @@ class MontField:
             return self._mont_reduce_array(acc_rows)
         if not isinstance(acc_rows, list):
             acc_rows = [acc_rows[i] for i in range(acc_rows.shape[0])]
-        zero = jnp.zeros_like(acc_rows[0])
+        zero = acc_rows[0] - acc_rows[0]
         acc = list(acc_rows) + [zero]
-        mod_rows = [jnp.uint32(int(v)) for v in self.mod_limbs]
-        n0p = jnp.uint32(self.n0p)
+        mod_rows = [int(v) for v in self.mod_limbs]
+        n0p = self.n0p
         for i in range(n):
             u = ((acc[i] & MASK) * n0p) & MASK
             for j in range(n):
@@ -233,6 +251,33 @@ class MontField:
     def mul(self, a, b):
         """Montgomery product: a*b*R^-1 mod m (canonical inputs/outputs)."""
         return self._mont_reduce(self._schoolbook(a, b))
+
+    def mul_const(self, a, value: int):
+        """Multiply by a fixed field constant (semantic int): the constant's
+        Montgomery limbs are inlined as scalar immediates (Pallas-safe)."""
+        if not _DIAG[-1]:
+            m = value % self.modulus * self.r % self.modulus
+            return self.mul(a, jnp.broadcast_to(
+                self._const(m, a.ndim - 1), a.shape))
+        n = self.nlimbs
+        m = value % self.modulus * self.r % self.modulus
+        c_limbs = [(m >> (16 * i)) & 0xFFFF for i in range(n)]
+        a_rows = [a[i] for i in range(n)]
+        acc = [None] * (2 * n)
+        for i in range(n):
+            ci = c_limbs[i]
+            if ci == 0:
+                continue
+            for j in range(n):
+                p = a_rows[j] * ci
+                k = i + j
+                lo = p & MASK
+                hi = p >> 16
+                acc[k] = lo if acc[k] is None else acc[k] + lo
+                acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
+        zero = a_rows[0] - a_rows[0]
+        acc = [zero if r is None else r for r in acc]
+        return self._mont_reduce(acc)
 
     def sq(self, a):
         return self.mul(a, a)

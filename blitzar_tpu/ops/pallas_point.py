@@ -148,6 +148,101 @@ def double(p, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# generic short-Weierstrass kernels (bls12-381 G1 / bn254 G1 / Grumpkin):
+# same tiling as the Edwards kernels, parameterized by the WCurve instance
+# (its Montgomery field runs in diag_mode inside the body)
+# ---------------------------------------------------------------------------
+
+
+def _wadd_body_factory(curve):
+    from ..fields import mont as _mont
+
+    def body(px, py, pz, qx, qy, qz, ox, oy, oz):
+        with _mont.diag_mode():
+            p = curve.make_point(px[:], py[:], pz[:])
+            q = curve.make_point(qx[:], qy[:], qz[:])
+            r = curve._add_impl(p, q)
+        ox[:], oy[:], oz[:] = r.x, r.y, r.z
+
+    return body
+
+
+def _wdouble_body_factory(curve):
+    from ..fields import mont as _mont
+
+    def body(px, py, pz, ox, oy, oz):
+        with _mont.diag_mode():
+            p = curve.make_point(px[:], py[:], pz[:])
+            r = curve._double_impl(p)
+        ox[:], oy[:], oz[:] = r.x, r.y, r.z
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "m", "interpret"))
+def _wadd_tiled(coords, curve, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    nl = curve.nlimbs
+    spec = pl.BlockSpec((nl, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [jax.ShapeDtypeStruct((nl, m, LANES), jnp.uint32) for _ in range(3)]
+    return pl.pallas_call(
+        _wadd_body_factory(curve),
+        grid=(m // blk,),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "m", "interpret"))
+def _wdouble_tiled(coords, curve, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    nl = curve.nlimbs
+    spec = pl.BlockSpec((nl, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [jax.ShapeDtypeStruct((nl, m, LANES), jnp.uint32) for _ in range(3)]
+    return pl.pallas_call(
+        _wdouble_body_factory(curve),
+        grid=(m // blk,),
+        in_specs=[spec] * 3,
+        out_specs=[spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def _wtiles(c, m, nl):
+    b = c.shape[1]
+    flat = jnp.zeros((nl, m * LANES), jnp.uint32)
+    flat = jax.lax.dynamic_update_slice(flat, c, (0, 0))
+    return flat.reshape(nl, m, LANES)
+
+
+def _wrun(curve, point_coords, tiled_fn, interpret):
+    nl = curve.nlimbs
+    batch_shape = point_coords[0].shape[1:]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    m = -(-b // LANES)
+    m = -(-m // M_BLK) * M_BLK if m > M_BLK else m
+    flat = [c.reshape(nl, b) for c in point_coords]
+    tiles = [_wtiles(c, m, nl) for c in flat]
+    out = tiled_fn(tiles, curve, m, interpret)
+    return [
+        c.reshape(nl, m * LANES)[:, :b].reshape((nl,) + batch_shape) for c in out
+    ]
+
+
+def wadd(curve, p, q, interpret: bool = False):
+    out = _wrun(curve, list(p) + list(q), _wadd_tiled, interpret)
+    return curve.make_point(*out)
+
+
+def wdouble(curve, p, interpret: bool = False):
+    out = _wrun(curve, list(p), _wdouble_tiled, interpret)
+    return curve.make_point(*out)
+
+
 def _combine_body_factory(num_bits: int):
     # input layout (16, num_bits, O): the bit axis rides the SUBLANE dim so
     # the ladder's dynamic per-bit slice is a ref sublane slice (dynamic LANE
