@@ -257,8 +257,16 @@ def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
 
     gc = max(1, ONEHOT_BUDGET_BYTES // (r_rows * v * 2))
     gc = min(gc, groups)
-    while groups % gc:
-        gc -= 1
+    # prefer a power-of-two chunk that divides `groups` (enables the
+    # in-kernel lane tree-reduce); fall back to any divisor
+    p2 = 1 << (gc.bit_length() - 1)
+    while p2 > 1 and groups % p2:
+        p2 //= 2
+    if p2 > 1:
+        gc = p2
+    else:
+        while groups % gc:
+            gc -= 1
     nchunks = groups // gc
 
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (r_rows, gc, v), 2)
@@ -278,7 +286,12 @@ def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
             for k in range(curve.coord_count)
         ]
         pts = curve.make_point(*coords)  # (nlimbs, R, gc)
-        red = curve.tree_reduce(pts, gc)  # (R,)
+        from ..ops import pallas_point as pp
+
+        if pp.use_pallas() and pp.tree_fits(curve, gc):
+            red = pp.tree_reduce_lanes(curve, pts, gc)  # one fused kernel
+        else:
+            red = curve.tree_reduce(pts, gc)  # (R,)
         return jnp.stack(list(red))  # (coords, nlimbs, R)
 
     out = lax.map(

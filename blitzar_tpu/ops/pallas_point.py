@@ -141,6 +141,95 @@ def double(p, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel tree reduction over the LAST (lane) axis: one pallas_call folds
+# (nlimbs, R, size) -> (nlimbs, R) with log2(size) halving adds on VMEM
+# values — contiguous half-slices (pair (i, i + size/2)) keep every slice a
+# legal static lane slice, and the inter-level slabs never touch HBM
+# ---------------------------------------------------------------------------
+
+
+def _tree_body_factory(curve, size: int, diag_ctx):
+    # reduce down to 128 lanes (the minimum legal output lane width); the
+    # cheap <=128 tail finishes outside the kernel
+    def body(*refs):
+        ins, outs = refs[: curve.coord_count], refs[curve.coord_count :]
+        with diag_ctx():
+            vals = [r[:] for r in ins]  # (nl, r_blk, size)
+            cur = size
+            while cur > LANES:
+                half = cur // 2
+                lo = curve.make_point(*(v[:, :, :half] for v in vals))
+                hi = curve.make_point(*(v[:, :, half : 2 * half] for v in vals))
+                vals = list(curve._add_impl(lo, hi))
+                cur = half
+        for o, v in zip(outs, vals):
+            o[:] = v
+
+    return body
+
+
+TREE_R_BLK = 8
+TREE_VMEM_BUDGET = 12 << 20
+
+
+def _tree_blk(curve, size: int, r: int) -> int:
+    per_row = curve.coord_count * curve.nlimbs * size * 4 * 3  # vals + temps
+    blk = max(1, TREE_VMEM_BUDGET // per_row)
+    return min(TREE_R_BLK, blk, r)
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "size", "interpret"))
+def _tree_tiled(coords, curve, size: int, interpret: bool):
+    nl = curve.nlimbs
+    r = coords[0].shape[1]
+    blk = _tree_blk(curve, size, r)
+    in_spec = pl.BlockSpec((nl, blk, size), lambda i: (0, i, 0))
+    out_spec = pl.BlockSpec((nl, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((nl, r, LANES), jnp.uint32)
+        for _ in range(curve.coord_count)
+    ]
+    if curve.coord_count == 4:
+        diag_ctx = F.diag_mode
+    else:
+        from ..fields import mont as _mont
+
+        diag_ctx = _mont.diag_mode
+    return pl.pallas_call(
+        _tree_body_factory(curve, size, diag_ctx),
+        grid=(-(-r // blk),),
+        in_specs=[in_spec] * curve.coord_count,
+        out_specs=[out_spec] * curve.coord_count,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def tree_reduce_lanes(curve, point, size: int, interpret: bool = False):
+    """point: (R, size) batch with size a power of two -> (R,) batch, summed
+    over the last axis entirely inside one kernel."""
+    r = point[0].shape[1]
+    blk = _tree_blk(curve, size, r)
+    pad = (-r) % blk
+    coords = list(point)
+    if pad:
+        ident = curve.identity((pad, size))
+        coords = [
+            jnp.concatenate([c, ic], axis=1) for c, ic in zip(coords, ident)
+        ]
+    out = _tree_tiled(coords, curve, size, interpret)
+    if pad:
+        out = [c[:, :r] for c in out]
+    point128 = curve.make_point(*out)  # (R, 128)
+    return curve.tree_reduce(point128, LANES)
+
+
+def tree_fits(curve, size: int) -> bool:
+    per_row = curve.coord_count * curve.nlimbs * size * 4 * 3
+    return (size & (size - 1)) == 0 and size > LANES and per_row <= TREE_VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
 # fused doubling-ladder combine: out[o] = sum_b 2^b * products[o, b]
 # (reference pippenger2/reduce.h doubling reduction). One kernel instead of
 # num_bits sequential (double + add) dispatches — the ladder's tiny widths
