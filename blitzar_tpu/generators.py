@@ -55,10 +55,83 @@ def _form_points(r0_limbs, r1_limbs) -> ed.PointP3:
     return ed.add(rst.elligator(r1_limbs), rst.elligator(r0_limbs))
 
 
+def _xorshift_limbs_device(lo, hi):
+    """Device xorshift128+ on (hi, lo) uint32 pairs (TPU has no uint64):
+    same draws as _xorshift_limbs, vectorized over the index batch."""
+
+    def add64(a, b):
+        lo_ = a[1] + b[1]
+        carry = (lo_ < a[1]).astype(jnp.uint32)
+        return (a[0] + b[0] + carry, lo_)
+
+    def shl(a, k):
+        return ((a[0] << k) | (a[1] >> (32 - k)), a[1] << k)
+
+    def shr(a, k):
+        return (a[0] >> k, (a[1] >> k) | (a[0] << (32 - k)))
+
+    def xor(a, b):
+        return (a[0] ^ b[0], a[1] ^ b[1])
+
+    one = jnp.ones_like(lo)
+    a = add64((hi, lo), (jnp.zeros_like(lo), one))
+    b = add64((hi, lo), (jnp.zeros_like(lo), one + one))
+    outs = []
+    for _ in range(8):
+        t, s = a, b
+        a = s
+        t = xor(t, shl(t, 23))
+        t = xor(t, shr(t, 17))
+        t = xor(t, xor(s, shr(s, 26)))
+        b = t
+        outs.append(add64(t, s))
+
+    def to_limbs(words):  # 4 x (hi, lo) -> (16, n) uint32 16-bit limbs
+        rows = []
+        for w_hi, w_lo in words:
+            rows += [w_lo & 0xFFFF, w_lo >> 16, w_hi & 0xFFFF, w_hi >> 16]
+        limbs = jnp.stack(rows)
+        return limbs.at[15].set(limbs[15] & 0x7FFF)
+
+    return to_limbs(outs[0:4]), to_limbs(outs[4:8])
+
+
+_DEVICE_CHUNK = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _generators_device(offset_lo, offset_hi, n: int) -> ed.PointP3:
+    """All-device generator derivation for large n (host RNG + per-chunk
+    uploads would bottleneck): iota -> xorshift128+ -> elligator, chunked
+    with lax.map to bound elligator temporaries."""
+    chunk = min(_DEVICE_CHUNK, n)
+    nchunks = n // chunk
+
+    def make(start_lo_hi):
+        start_lo, start_hi = start_lo_hi
+        i = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 1), 0)[:, 0]
+        lo = start_lo + i
+        hi = start_hi + (lo < start_lo).astype(jnp.uint32)
+        r0, r1 = _xorshift_limbs_device(lo, hi)
+        return jnp.stack(list(_form_points(r0, r1)))  # (4, 16, chunk)
+
+    starts = jnp.arange(nchunks, dtype=jnp.uint32) * jnp.uint32(chunk)
+    lo_s = offset_lo + starts
+    hi_s = offset_hi + (lo_s < offset_lo).astype(jnp.uint32)
+    out = jax.lax.map(make, (lo_s, hi_s))  # (nchunks, 4, 16, chunk)
+    return ed.PointP3(
+        *(jnp.moveaxis(out[:, k], 0, 1).reshape(16, n) for k in range(4))
+    )
+
+
 def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
     """PointP3 batch of the canonical generators [offset, offset + n)."""
     if n == 0:
         return ed.identity((0,))
+    if n >= _DEVICE_CHUNK and n % _DEVICE_CHUNK == 0:
+        return _generators_device(
+            jnp.uint32(offset & 0xFFFFFFFF), jnp.uint32(offset >> 32), n
+        )
     chunks = []
     for start in range(0, n, _CHUNK):
         count = min(_CHUNK, n - start)

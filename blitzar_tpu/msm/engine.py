@@ -258,12 +258,10 @@ def _cached_handle(points, n, curve, _fixed):
         cached_x, cached_n, cached_curve, handle = entry
         if cached_x is points.x and cached_n == n and cached_curve is curve:
             return handle
-    # adaptive width: w=8 tables hold 2^8/8 = 32 bf16-split points per input
-    # point (~8.6 GB at n=2^20, which fits since the uint32 table is never
-    # materialized); beyond 2^20 fall back to w=4 (4x smaller tables, 2x the
-    # query adds)
-    w = 8 if n <= (1 << 20) else 4
-    handle = _fixed.MultiexpHandle(points, window_width=w, curve=curve, n=n)
+    # w=8 tables hold 2^8/8 = 32 bf16-split points per input point (~8.6 GB
+    # at n=2^20, which fits since the uint32 table is never materialized);
+    # larger n takes the streaming path before reaching here
+    handle = _fixed.MultiexpHandle(points, window_width=8, curve=curve, n=n)
     _HANDLE_CACHE.append((points.x, n, curve, handle))
     if len(_HANDLE_CACHE) > _HANDLE_CACHE_SLOTS:
         _HANDLE_CACHE.pop(0)
@@ -293,6 +291,10 @@ def msm(points, data_list, nbytes_list, signed_list, curve=ed):
 
         if points.x.shape[-1] > n:
             points = curve.index_batch(points, (slice(0, n),))
+        if n > (1 << 20):
+            # beyond 2^20 a persistent w=8 table outgrows HBM; stream
+            # build+query per generator chunk instead
+            return _fixed.streaming_multiexponentiation(points, scalars, curve)
         handle = _cached_handle(points, n, curve, _fixed)
         return _fixed.fixed_multiexponentiation(handle, scalars)
     # pad n to the next power of two (>= 8) to bound shape-specialized

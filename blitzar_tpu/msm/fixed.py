@@ -363,6 +363,81 @@ def _query_jit(t_lo, t_hi, scalars_dev, window_width, num_outputs, nbits, curve)
     return _doubling_combine(products, nbits, curve)
 
 
+# points per streamed chunk (table slab = chunk * 2^w / w points)
+STREAM_CHUNK_POINTS = 1 << 17
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
+)
+def _streaming_query_jit(
+    point_coords, scalars_dev, window_width, num_outputs, nbits, curve
+):
+    """Fused build+query streamed over generator chunks: each chunk's
+    partition table is built, queried, and discarded — memory stays bounded
+    by the chunk slab regardless of n (the TPU shape of the reference's
+    table-slice streaming, reference pippenger2/partition_product.h:128-135).
+    point_coords: list of (nlimbs, n) arrays; scalars_dev: (O, n, nbytes)."""
+    o, n, nbytes = scalars_dev.shape
+    w = window_width
+    chunk_n = min(STREAM_CHUNK_POINTS, n)
+    while n % chunk_n:
+        chunk_n //= 2
+    nchunks = n // chunk_n
+
+    def chunk(args):
+        pts, scal = args
+        t_lo, t_hi = _build_split_table(curve.make_point(*pts), w, curve)
+        shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+        bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
+        rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1).reshape(
+            o * nbits, chunk_n
+        )
+        products = _partition_products(t_lo, t_hi, rows, w, curve)
+        return jnp.stack(list(products))  # (coords, nlimbs, R)
+
+    if nchunks == 1:
+        out = chunk((point_coords, scalars_dev))
+        total = curve.make_point(*out)
+    else:
+        chunked_pts = [
+            c.reshape(curve.nlimbs, nchunks, chunk_n).swapaxes(0, 1)
+            for c in point_coords
+        ]
+        chunked_scal = scalars_dev.reshape(o, nchunks, chunk_n, nbytes).swapaxes(0, 1)
+        parts = lax.map(chunk, (chunked_pts, chunked_scal))
+        total = curve.tree_reduce(
+            curve.make_point(
+                *(jnp.moveaxis(parts[:, k], 0, -1) for k in range(curve.coord_count))
+            ),
+            nchunks,
+        )
+    prods = curve.reshape_batch(total, (num_outputs, nbits))
+    return _doubling_combine(prods, nbits, curve)
+
+
+def streaming_multiexponentiation(points, scalars, curve=ed, window_width=8):
+    """Dynamic MSM for very large n: scalars (O, n, nbytes) uint8 unsigned;
+    points (>= n,). No persistent table — build+query streamed per chunk."""
+    scalars = np.asarray(scalars, np.uint8)
+    num_outputs, n, nbytes = scalars.shape
+    w = window_width
+    n_pad = -(-n // w) * w
+    if scalars.shape[1] < n_pad:
+        scalars = np.pad(scalars, ((0, 0), (0, n_pad - n), (0, 0)))
+    npts = points.x.shape[-1]
+    if npts < n_pad:
+        pad = curve.identity((n_pad - npts,))
+        points = curve.make_point(
+            *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
+        )
+    elif npts > n_pad:
+        points = curve.index_batch(points, (slice(0, n_pad),))
+    return _streaming_query_jit(
+        list(points), jnp.asarray(scalars), w, num_outputs, 8 * nbytes, curve
+    )
+
+
 def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
     """scalars: (num_outputs, n, element_num_bytes) uint8 -> (num_outputs,)
     points (reference sxt_fixed_multiexponentiation, blitzar_api.h:685)."""
