@@ -99,29 +99,32 @@ def _xorshift_limbs_device(lo, hi):
 _DEVICE_CHUNK = 1 << 16
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _generators_device(offset_lo, offset_hi, n: int) -> ed.PointP3:
-    """All-device generator derivation for large n (host RNG + per-chunk
-    uploads would bottleneck): iota -> xorshift128+ -> elligator, chunked
-    with lax.map to bound elligator temporaries."""
-    chunk = min(_DEVICE_CHUNK, n)
-    nchunks = n // chunk
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _generators_device_chunk(start_lo, start_hi, chunk: int) -> ed.PointP3:
+    """One chunk of all-device generator derivation: iota -> xorshift128+ ->
+    elligator. Dispatched per chunk from the host (wrapping the whole sweep
+    in one lax.map program was observed to hard-crash the TPU worker)."""
+    i = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 1), 0)[:, 0]
+    lo = start_lo + i
+    hi = start_hi + (lo < start_lo).astype(jnp.uint32)
+    r0, r1 = _xorshift_limbs_device(lo, hi)
+    return _form_points(r0, r1)
 
-    def make(start_lo_hi):
-        start_lo, start_hi = start_lo_hi
-        i = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 1), 0)[:, 0]
-        lo = start_lo + i
-        hi = start_hi + (lo < start_lo).astype(jnp.uint32)
-        r0, r1 = _xorshift_limbs_device(lo, hi)
-        return jnp.stack(list(_form_points(r0, r1)))  # (4, 16, chunk)
 
-    starts = jnp.arange(nchunks, dtype=jnp.uint32) * jnp.uint32(chunk)
-    lo_s = offset_lo + starts
-    hi_s = offset_hi + (lo_s < offset_lo).astype(jnp.uint32)
-    out = jax.lax.map(make, (lo_s, hi_s))  # (nchunks, 4, 16, chunk)
-    return ed.PointP3(
-        *(jnp.moveaxis(out[:, k], 0, 1).reshape(16, n) for k in range(4))
-    )
+def _generators_device(offset: int, n: int) -> ed.PointP3:
+    chunks = []
+    for start in range(0, n, _DEVICE_CHUNK):
+        idx = offset + start
+        chunks.append(
+            _generators_device_chunk(
+                jnp.uint32(idx & 0xFFFFFFFF),
+                jnp.uint32(idx >> 32),
+                min(_DEVICE_CHUNK, n - start),
+            )
+        )
+    if len(chunks) == 1:
+        return chunks[0]
+    return ed.PointP3(*(jnp.concatenate(cs, axis=1) for cs in zip(*chunks)))
 
 
 def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
@@ -129,9 +132,7 @@ def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
     if n == 0:
         return ed.identity((0,))
     if n >= _DEVICE_CHUNK and n % _DEVICE_CHUNK == 0:
-        return _generators_device(
-            jnp.uint32(offset & 0xFFFFFFFF), jnp.uint32(offset >> 32), n
-        )
+        return _generators_device(offset, n)
     chunks = []
     for start in range(0, n, _CHUNK):
         count = min(_CHUNK, n - start)

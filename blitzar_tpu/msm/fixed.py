@@ -363,8 +363,11 @@ def _query_jit(t_lo, t_hi, scalars_dev, window_width, num_outputs, nbits, curve)
     return _doubling_combine(products, nbits, curve)
 
 
-# points per streamed chunk (table slab = chunk * 2^w / w points)
-STREAM_CHUNK_POINTS = 1 << 17
+# points per streamed chunk (table slab = chunk * 2^w / w points). Kept at
+# BUILD_CHUNK_GROUPS * w so the inner table build needs no lax.map of its own
+# — nesting lax.map around the Pallas kernels was observed to crash the TPU
+# worker.
+STREAM_CHUNK_POINTS = BUILD_CHUNK_GROUPS * 8
 
 
 @functools.partial(
