@@ -48,6 +48,22 @@ def default_window_width() -> int:
 # flight; small chunks keep the build program's peak near the output size)
 BUILD_CHUNK_GROUPS = 1 << 12
 
+# split tables are stored pre-chunked as (nc, L, gc, V) so queries can
+# lax.map over the leading axis with zero-copy slicing
+TABLE_CHUNK_GROUPS = 1 << 10
+
+
+def _table_chunk_groups(groups: int) -> int:
+    gc = min(TABLE_CHUNK_GROUPS, groups)
+    p2 = 1 << (gc.bit_length() - 1)
+    while p2 > 1 and groups % p2:
+        p2 //= 2
+    if p2 > 1:
+        return p2
+    while groups % gc:
+        gc -= 1
+    return gc
+
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _build_table(points, window_width: int, curve=ed):
@@ -64,9 +80,16 @@ def _build_table(points, window_width: int, curve=ed):
         chunk = curve.make_point(*chunk_pts)
         for j in range(window_width):
             gj = curve.index_batch(chunk, (slice(None), j))
-            shifted = curve.add(
-                table, curve.make_point(*(c[..., None] for c in gj))
+            # broadcast the generator to the table's shape BEFORE the add so
+            # the equal-shape Pallas kernel handles it (a broadcast add would
+            # silently fall back to the slow inline-XLA formulas)
+            gj_b = curve.make_point(
+                *(
+                    jnp.broadcast_to(c[..., None], tc.shape)
+                    for c, tc in zip(gj, table)
+                )
             )
+            shifted = curve.add(table, gj_b)
             table = curve.make_point(
                 *(
                     jnp.concatenate([tc, sc], axis=-1)
@@ -97,11 +120,12 @@ def _build_table(points, window_width: int, curve=ed):
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _build_split_table(points, window_width: int, curve=ed):
-    """Like _build_table followed by _split_table, but chunked so the full
+    """Like _build_table followed by a byte split, but chunked so the full
     uint32 point table is never materialized — each group chunk is built and
-    immediately byte-split to bf16. Returns (t_lo, t_hi) of (G, 2^w, L).
-    This is what lets w=8 tables (32 points stored per input point) fit in
-    HBM at n = 2^20."""
+    immediately split to bf16. Returns (t_lo, t_hi) of shape
+    (nc, gc, V, L), pre-chunked on the leading axis (queries lax.map over it
+    with zero-copy slicing). This is what lets w=8 tables (32 stored points
+    per input point) fit HBM at n = 2^20."""
     n = points.x.shape[-1]
     groups = n // window_width
     pts = curve.reshape_batch(points, (groups, window_width))
@@ -113,9 +137,16 @@ def _build_split_table(points, window_width: int, curve=ed):
         chunk = curve.make_point(*chunk_pts)
         for j in range(window_width):
             gj = curve.index_batch(chunk, (slice(None), j))
-            shifted = curve.add(
-                table, curve.make_point(*(c[..., None] for c in gj))
+            # broadcast the generator to the table's shape BEFORE the add so
+            # the equal-shape Pallas kernel handles it (a broadcast add would
+            # silently fall back to the slow inline-XLA formulas)
+            gj_b = curve.make_point(
+                *(
+                    jnp.broadcast_to(c[..., None], tc.shape)
+                    for c, tc in zip(gj, table)
+                )
             )
+            shifted = curve.add(table, gj_b)
             table = curve.make_point(
                 *(
                     jnp.concatenate([tc, sc], axis=-1)
@@ -130,19 +161,15 @@ def _build_split_table(points, window_width: int, curve=ed):
             (full >> 8).astype(jnp.bfloat16),
         )
 
-    gc = min(BUILD_CHUNK_GROUPS, groups)
-    while groups % gc:
-        gc -= 1
+    gc = _table_chunk_groups(groups)
     nchunks = groups // gc
     if nchunks == 1:
         lo, hi = build_chunk([c for c in pts])
-        return lo, hi
+        return lo[None], hi[None]
     chunked = [
         c.reshape(nl, nchunks, gc, window_width).swapaxes(0, 1) for c in pts
     ]
-    lo, hi = lax.map(build_chunk, chunked)  # (nchunks, gc, V, L)
-    v, l_dim = lo.shape[-2], lo.shape[-1]
-    return lo.reshape(groups, v, l_dim), hi.reshape(groups, v, l_dim)
+    return lax.map(build_chunk, chunked)  # (nchunks, gc, V, L)
 
 
 class MultiexpHandle:
@@ -161,7 +188,7 @@ class MultiexpHandle:
                 *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
             )
         self.num_groups = n_pad // w
-        self.t_lo, self.t_hi = _build_split_table(points, w, curve)
+        self.t_lo, self.t_hi = _build_split_table(points, w, curve)  # 4D
         # the uint32 point table is reconstructed on demand (write_to_file)
         self.table = None
 
@@ -176,10 +203,12 @@ class MultiexpHandle:
         full = (
             jnp.asarray(self.t_lo).astype(jnp.uint32)
             | (jnp.asarray(self.t_hi).astype(jnp.uint32) << 8)
-        )  # (G, V, L)
+        )  # (nc, gc, V, L)
+        nc, gc, v, l_dim = full.shape
+        flat = full.reshape(nc * gc, v, l_dim)
         return curve.make_point(
             *(
-                jnp.moveaxis(full[..., k * nl : (k + 1) * nl], -1, 0)
+                jnp.moveaxis(flat[..., k * nl : (k + 1) * nl], -1, 0)
                 for k in range(curve.coord_count)
             )
         )
@@ -213,14 +242,16 @@ class MultiexpHandle:
 
 @functools.partial(jax.jit, static_argnames=("curve",))
 def _split_table_jit(table, curve):
-    """Point table (coords of (nlimbs, G, V) uint32) -> two bf16 tensors
-    (G, V, L), L = coord_count*nlimbs, holding the low/high bytes of each
-    limb. bf16 represents ints < 256 exactly, which is what makes the
-    one-hot-matmul lookup below exact."""
-    parts = []
-    for c in table:
-        parts.append(jnp.moveaxis(c, 0, -1))  # (G, V, nlimbs)
-    full = jnp.concatenate(parts, axis=-1)  # (G, V, L) uint32 (limbs < 2^16)
+    """Point table (coords of (nlimbs, G, V) uint32) -> two bf16 tensors of
+    shape (nc, gc, V, L), pre-chunked leading axis, holding the low/high
+    bytes of each limb. bf16 represents ints < 256 exactly, which is what
+    makes the one-hot-matmul lookup exact."""
+    full = jnp.concatenate(
+        [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
+    )  # (G, V, L)
+    groups, v, l_dim = full.shape
+    gc = _table_chunk_groups(groups)
+    full = full.reshape(groups // gc, gc, v, l_dim)
     t_lo = (full & jnp.uint32(0xFF)).astype(jnp.bfloat16)
     t_hi = (full >> 8).astype(jnp.bfloat16)
     return t_lo, t_hi
@@ -236,16 +267,19 @@ ONEHOT_BUDGET_BYTES = 128 << 20
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
-    """t_lo/t_hi: (G, 2^w, L) bf16 byte-split table; bit_rows: (R, G*w) uint8
-    in {0, 1}. Returns (R,) points: sum_g table[g, pack(bits[r, g*w:(g+1)*w])].
+    """t_lo/t_hi: (nc, gc, 2^w, L) bf16 byte-split table (pre-chunked);
+    bit_rows: (R, G*w) uint8 in {0, 1}, G = nc*gc. Returns (R,) points:
+    sum_g table[g, pack(bits[r, g*w:(g+1)*w])].
 
     The per-(row, group) table lookup is a one-hot contraction on the MXU —
     einsum('rgv,gvl->rgl') with an exact 0/1 one-hot — instead of an XLA
-    gather (measured ~50x slower on TPU). The selected byte-planes are
-    recombined to uint32 limbs and the groups are point-tree-reduced with the
-    Pallas group-law kernels."""
+    gather (measured ~50x slower on TPU). The pre-chunked leading axis makes
+    the lax.map slicing zero-copy; rows are sub-blocked so the one-hot tensor
+    stays under ONEHOT_BUDGET_BYTES (row blocks are a small static python
+    loop — nesting lax.map around the Pallas kernels crashes the worker)."""
     r_rows, n = bit_rows.shape
-    groups, v, l_dim = t_lo.shape
+    nc, gc, v, l_dim = t_lo.shape
+    groups = nc * gc
     assert groups * window_width == n
     nlimbs = curve.nlimbs
     weights = (1 << np.arange(window_width, dtype=np.int32))[None, None, :]
@@ -255,24 +289,19 @@ def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
         axis=-1,
     )  # (R, G)
 
-    gc = max(1, ONEHOT_BUDGET_BYTES // (r_rows * v * 2))
-    gc = min(gc, groups)
-    # prefer a power-of-two chunk that divides `groups` (enables the
-    # in-kernel lane tree-reduce); fall back to any divisor
-    p2 = 1 << (gc.bit_length() - 1)
-    while p2 > 1 and groups % p2:
-        p2 //= 2
-    if p2 > 1:
-        gc = p2
-    else:
-        while groups % gc:
-            gc -= 1
-    nchunks = groups // gc
+    rb = max(1, ONEHOT_BUDGET_BYTES // (gc * v * 2))
+    rb = min(rb, r_rows)
+    r_pad = -(-r_rows // rb) * rb
+    if r_pad != r_rows:
+        idx = jnp.pad(idx, ((0, r_pad - r_rows), (0, 0)))
+    nrb = r_pad // rb
 
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (r_rows, gc, v), 2)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (rb, gc, v), 2)
+    # (nrb, nc, rb, gc): row-block-major, then chunk
+    idx_blocks = idx.reshape(nrb, rb, nc, gc).swapaxes(1, 2)
 
     def chunk(args):
-        idx_c, lo_c, hi_c = args
+        lo_c, hi_c, idx_c = args  # lax.map slices t_lo's leading axis: no copy
         onehot = (idx_c[:, :, None] == iota_v).astype(jnp.bfloat16)
         sel_lo = jnp.einsum(
             "rgv,gvl->rgl", onehot, lo_c, preferred_element_type=jnp.float32
@@ -285,25 +314,29 @@ def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
             jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
             for k in range(curve.coord_count)
         ]
-        pts = curve.make_point(*coords)  # (nlimbs, R, gc)
+        pts = curve.make_point(*coords)  # (nlimbs, rb, gc)
         from ..ops import pallas_point as pp
 
         if pp.use_pallas() and pp.tree_fits(curve, gc):
             red = pp.tree_reduce_lanes(curve, pts, gc)  # one fused kernel
         else:
-            red = curve.tree_reduce(pts, gc)  # (R,)
-        return jnp.stack(list(red))  # (coords, nlimbs, R)
+            red = curve.tree_reduce(pts, gc)  # (rb,)
+        return jnp.stack(list(red))  # (coords, nlimbs, rb)
 
-    out = lax.map(
-        chunk,
-        (
-            idx.reshape(r_rows, nchunks, gc).swapaxes(0, 1),
-            t_lo.reshape(nchunks, gc, v, l_dim),
-            t_hi.reshape(nchunks, gc, v, l_dim),
-        ),
-    )  # (nchunks, coords, nlimbs, R)
-    parts = curve.make_point(*(jnp.moveaxis(out[:, k], 0, -1) for k in range(curve.coord_count)))
-    return curve.tree_reduce(parts, nchunks)  # (R,)
+    row_results = []
+    for rbi in range(nrb):  # small static count; keeps lax.map un-nested
+        out = lax.map(chunk, (t_lo, t_hi, idx_blocks[rbi]))  # (nc, coords, nl, rb)
+        parts = curve.make_point(
+            *(jnp.moveaxis(out[:, k], 0, -1) for k in range(curve.coord_count))
+        )  # batch (rb, nc)
+        row_results.append(curve.tree_reduce(parts, nc))  # (rb,)
+    if nrb == 1:
+        total = row_results[0]
+    else:
+        total = curve.make_point(
+            *(jnp.concatenate(cs, axis=-1) for cs in zip(*row_results))
+        )
+    return curve.index_batch(total, (slice(0, r_rows),))
 
 
 @functools.partial(jax.jit, static_argnames=("num_bits", "curve"))

@@ -25,3 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Keep the long-running suite's RSS bounded: drop live compiled programs
+    after each test module (the persistent compilation cache makes reloads
+    cheap). Without this the process grows past 15 GB and XLA:CPU has been
+    observed to segfault mid-compile."""
+    yield
+    jax.clear_caches()
