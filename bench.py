@@ -43,7 +43,7 @@ def main():
     t0 = time.time()
     points = gen.ristretto_generators(n)
     handle = fixed.MultiexpHandle(points, window_width=WINDOW)
-    np.asarray(handle.t_lo[:1, :1, :1])  # force completion
+    np.asarray(handle.t_split[:1, :1, :1])  # force completion
     t_setup = time.time() - t0
     del points
 
@@ -56,7 +56,7 @@ def main():
 
     t0 = time.time()
     out = fixed._query_jit(
-        handle.t_lo, handle.t_hi, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
+        handle.t_split, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
     )
     np.asarray(out.x[:, :1])
     t_compile = time.time() - t0
@@ -65,7 +65,7 @@ def main():
     for _ in range(SAMPLES):
         t0 = time.time()
         out = fixed._query_jit(
-            handle.t_lo, handle.t_hi, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
+            handle.t_split, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
         )
         np.asarray(out.x[:, :1])  # D2H forces real completion on the tunnel
         times.append(time.time() - t0)

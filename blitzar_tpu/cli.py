@@ -38,7 +38,29 @@ def main(argv=None) -> int:
         default=None,
         help=".npz with coord0..K arrays; defaults to the canonical ristretto set",
     )
+    pt.add_argument(
+        "--format",
+        default="npz",
+        choices=["npz", "reference"],
+        help="'reference' writes the upstream raw compact_element format "
+        "(in_memory_partition_table_accessor.h), loadable by the reference",
+    )
+    rp = sub.add_parser(
+        "replay",
+        help="re-run a BLITZAR_TPU_DUMP_DIR recording and check the result",
+    )
+    rp.add_argument("dirs", nargs="+", help="dump directories (name-NNN)")
     args = parser.parse_args(argv)
+
+    if args.cmd == "replay":
+        from .utils import recorder
+
+        failed = 0
+        for d in args.dirs:
+            name, ok = recorder.replay_run(d)
+            print(f"{name}: {'OK' if ok else 'MISMATCH'}")
+            failed += not ok
+        return 1 if failed else 0
 
     import jax.numpy as jnp
     import numpy as np
@@ -63,7 +85,12 @@ def main(argv=None) -> int:
     handle = fixed.MultiexpHandle(
         points, window_width=args.window_width, curve=curve, n=args.n
     )
-    handle.write_to_file(args.out)
+    if args.format == "reference":
+        from .msm import interop
+
+        interop.write_reference_file(handle, args.out)
+    else:
+        handle.write_to_file(args.out)
     print(f"wrote {args.out} (curve={args.curve}, n={args.n}, w={handle.window_width})")
     return 0
 

@@ -34,6 +34,20 @@ class PointP3(NamedTuple):
 
 
 D2_INT = (2 * _D_INT) % (2**255 - 19)
+# 1/2 mod p (used to reconstruct x, y from a niels triple)
+INV2_INT = (2**255 - 19 + 1) // 2
+
+
+class Niels(NamedTuple):
+    """Affine precomputed form: (a, b, t) = (y + x, y - x, x * y), z = 1
+    implied — the storage form of partition-table entries (the analog of
+    libsodium's ge25519_precomp / the reference's compact_element,
+    curve21/type/compact_element.h, chosen so the first table-reduce add
+    needs 7 muls instead of 9)."""
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    t: jnp.ndarray
 
 # curve-protocol attributes (shared with curves/weierstrass.py's WCurve) so
 # the MSM engine can take this module itself as its static `curve` argument
@@ -64,6 +78,49 @@ def _add_impl(p: PointP3, q: PointP3) -> PointP3:
     g = F.add(d, c)
     h = F.add(b, a)
     return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
+def _niels_add_impl(n1: Niels, n2: Niels) -> PointP3:
+    """Sum of two niels-form (z = 1) points -> extended. Same unified
+    add-2008-hwcd-3 law as _add_impl with Z1 = Z2 = 1 and the (y±x) sums
+    precomputed in the representation: 7 muls + 1 const-mul (vs 9 + 1 + 1).
+    Complete — the identity is (1, 1, 0)."""
+    a = F.mul(n1.b, n2.b)
+    b = F.mul(n1.a, n2.a)
+    c = F.mul_const(F.mul(n1.t, n2.t), D2_INT)
+    e = F.sub(b, a)
+    f = F.sub_from_const(2, c)
+    g = F.add_const(c, 2)
+    h = F.add(b, a)
+    return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
+def niels_to_p3(n: Niels) -> PointP3:
+    """(a, b, t) -> (x, y, 1, t) with x = (a-b)/2, y = (a+b)/2."""
+    x = F.mul_const(F.sub(n.a, n.b), INV2_INT)
+    y = F.mul_const(F.add(n.a, n.b), INV2_INT)
+    one = F.from_int_const(1, x.shape[1:])
+    return PointP3(x, y, one, n.t)
+
+
+def niels_add(n1: Niels, n2: Niels) -> PointP3:
+    """Dispatch like add(): Pallas kernel on TPU for large batches."""
+    from ..ops import pallas_point as pp
+
+    if (
+        n1.a.shape == n2.a.shape
+        and _batch_lanes_arr(n1.a) >= pp.MIN_LANES
+        and pp.use_pallas()
+    ):
+        return pp.niels_add(n1, n2)
+    return _niels_add_impl(n1, n2)
+
+
+def _batch_lanes_arr(c) -> int:
+    n = 1
+    for d in c.shape[1:]:
+        n *= int(d)
+    return n
 
 
 def _double_impl(p: PointP3) -> PointP3:

@@ -239,6 +239,24 @@ def mul_small(a, k: int):
     return _finalize([a[i] * k for i in range(NLIMBS)])
 
 
+def add_const(a, value: int):
+    """a + value for a Python-int constant (limbs inlined as immediates, so
+    this is Pallas-safe like mul_const)."""
+    value %= 2**256
+    return _finalize(
+        [a[i] + ((value >> (16 * i)) & MASK) for i in range(NLIMBS)]
+    )
+
+
+def sub_from_const(value: int, a):
+    """value - a for a Python-int constant (Pallas-safe immediates).
+    Rows are value_limb + 4p_limb - a_limb < 2^18: no borrow."""
+    value %= 2**256
+    return _finalize(
+        [((value >> (16 * i)) & MASK) + FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)]
+    )
+
+
 def pow2k(a, k: int):
     """a^(2^k) by repeated squaring (fori_loop keeps the graph small)."""
     return lax.fori_loop(0, k, lambda _, x: sq(x), a)

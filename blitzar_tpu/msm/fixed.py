@@ -35,6 +35,15 @@ import numpy as np
 from jax import lax
 
 from ..curves import edwards25519 as ed
+from ..fields import fp25519 as F25519
+
+
+def _table_dtype():
+    """bf16 on TPU (exact for byte values < 256, feeds the MXU); f32 on CPU —
+    this host's XLA:CPU thunk runtime cannot execute batched bf16 dots
+    ("Unsupported element type for DotThunk"), and f32 is exact for bytes
+    anyway. Both are bit-identical through the integer reconstruction."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
 def default_window_width() -> int:
@@ -118,14 +127,67 @@ def _build_table(points, window_width: int, curve=ed):
     return curve.make_point(*merged)
 
 
+def _batch_invert_lanes(z):
+    """Montgomery-trick batch inversion along the LAST axis: one field
+    inversion per leading-batch row + O(log V) full-width muls (the scans)."""
+    axis = z.ndim - 1
+    prefix = lax.associative_scan(F25519.mul, z, axis=axis)
+    suffix = lax.associative_scan(F25519.mul, z, axis=axis, reverse=True)
+    total_inv = F25519.invert(prefix[..., -1:])
+    ones = F25519.from_int_const(1, z.shape[1:-1] + (1,))
+    p_exc = jnp.concatenate([ones, prefix[..., :-1]], axis=-1)
+    s_exc = jnp.concatenate([suffix[..., 1:], ones], axis=-1)
+    return F25519.mul(F25519.mul(p_exc, s_exc), total_inv)
+
+
+def _ed_niels_split(table: "ed.PointP3"):
+    """Extended table batch (.., V) -> bf16 byte-split niels storage
+    (.., V, 96): last axis is [a | b | t] x 16 limbs, low bytes then high
+    bytes. Storing the affine (y+x, y-x, xy) triple instead of projective
+    (x, y, z, t) drops table memory and lookup-matmul work by 25% and makes
+    the first reduce level a 7-mul niels add (curves/edwards25519.py)."""
+    zinv = _batch_invert_lanes(table.z)
+    xa = F25519.mul(table.x, zinv)
+    ya = F25519.mul(table.y, zinv)
+    a = F25519.add(ya, xa)
+    b = F25519.sub(ya, xa)
+    t = F25519.mul(xa, ya)
+    full = jnp.concatenate(
+        [jnp.moveaxis(c, 0, -1) for c in (a, b, t)], axis=-1
+    )  # (.., V, 48)
+    dt = _table_dtype()
+    return jnp.concatenate(
+        [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
+        axis=-1,
+    )
+
+
+def _w_split(table, curve):
+    """Weierstrass storage: projective coords byte-split, (.., V, 2L).
+    (Affine + marker is not usable here: the complete projective formulas
+    need z, and the identity entry has z = 0.)"""
+    full = jnp.concatenate(
+        [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
+    )  # (.., V, L)
+    dt = _table_dtype()
+    return jnp.concatenate(
+        [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
+        axis=-1,
+    )
+
+
+def _split_any(table, curve):
+    return _ed_niels_split(table) if curve is ed else _w_split(table, curve)
+
+
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _build_split_table(points, window_width: int, curve=ed):
-    """Like _build_table followed by a byte split, but chunked so the full
-    uint32 point table is never materialized — each group chunk is built and
-    immediately split to bf16. Returns (t_lo, t_hi) of shape
-    (nc, gc, V, L), pre-chunked on the leading axis (queries lax.map over it
-    with zero-copy slicing). This is what lets w=8 tables (32 stored points
-    per input point) fit HBM at n = 2^20."""
+    """Like _build_table followed by the storage split, but chunked so the
+    full uint32 point table is never materialized — each group chunk is built
+    and immediately split to bf16. Returns a (nc, gc, V, 2L) tensor
+    (L = 48 niels values for ed, coord_count*nlimbs for Weierstrass),
+    pre-chunked on the leading axis (queries lax.map over it with zero-copy
+    slicing). This is what lets w=8 tables fit HBM at n = 2^20."""
     n = points.x.shape[-1]
     groups = n // window_width
     pts = curve.reshape_batch(points, (groups, window_width))
@@ -153,23 +215,16 @@ def _build_split_table(points, window_width: int, curve=ed):
                     for tc, sc in zip(table, shifted)
                 )
             )
-        full = jnp.concatenate(
-            [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
-        )  # (gc, V, L)
-        return (
-            (full & jnp.uint32(0xFF)).astype(jnp.bfloat16),
-            (full >> 8).astype(jnp.bfloat16),
-        )
+        return _split_any(curve.make_point(*table), curve)
 
     gc = _table_chunk_groups(groups)
     nchunks = groups // gc
     if nchunks == 1:
-        lo, hi = build_chunk([c for c in pts])
-        return lo[None], hi[None]
+        return build_chunk([c for c in pts])[None]
     chunked = [
         c.reshape(nl, nchunks, gc, window_width).swapaxes(0, 1) for c in pts
     ]
-    return lax.map(build_chunk, chunked)  # (nchunks, gc, V, L)
+    return lax.map(build_chunk, chunked)  # (nchunks, gc, V, 2L)
 
 
 class MultiexpHandle:
@@ -188,7 +243,7 @@ class MultiexpHandle:
                 *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
             )
         self.num_groups = n_pad // w
-        self.t_lo, self.t_hi = _build_split_table(points, w, curve)  # 4D
+        self.t_split = _build_split_table(points, w, curve)  # (nc, gc, V, 2L)
         # the uint32 point table is reconstructed on demand (write_to_file)
         self.table = None
 
@@ -200,12 +255,19 @@ class MultiexpHandle:
             return self.table
         curve = self.curve
         nl = curve.nlimbs
-        full = (
-            jnp.asarray(self.t_lo).astype(jnp.uint32)
-            | (jnp.asarray(self.t_hi).astype(jnp.uint32) << 8)
+        ts = jnp.asarray(self.t_split)
+        l_dim = ts.shape[-1] // 2
+        full = ts[..., :l_dim].astype(jnp.uint32) | (
+            ts[..., l_dim:].astype(jnp.uint32) << 8
         )  # (nc, gc, V, L)
-        nc, gc, v, l_dim = full.shape
+        nc, gc, v, _ = full.shape
         flat = full.reshape(nc * gc, v, l_dim)
+        if curve is ed:
+            a, b, t = (
+                jnp.moveaxis(flat[..., k * nl : (k + 1) * nl], -1, 0)
+                for k in range(3)
+            )
+            return ed.niels_to_p3(ed.Niels(a, b, t))
         return curve.make_point(
             *(
                 jnp.moveaxis(flat[..., k * nl : (k + 1) * nl], -1, 0)
@@ -224,6 +286,15 @@ class MultiexpHandle:
 
     @classmethod
     def new_from_file(cls, path: str, curve=ed) -> "MultiexpHandle":
+        # accept both our npz format and the reference's raw format
+        # (sniffed by the zip magic): sxt_multiexp_handle_new_from_file
+        # must load files written by the reference's app/blitzar CLI
+        if os.path.exists(path) and not path.endswith(".npz"):
+            with open(path, "rb") as f:
+                if f.read(2) != b"PK":
+                    from . import interop
+
+                    return interop.read_reference_file(path, curve)
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         assert str(data["curve"]) == curve.name, (
             f"file curve {data['curve']} != requested {curve.name}"
@@ -236,25 +307,21 @@ class MultiexpHandle:
             *(jnp.asarray(data[f"coord{i}"]) for i in range(curve.coord_count))
         )
         obj.num_groups = obj.table.x.shape[-2]
-        obj.t_lo, obj.t_hi = _split_table(obj.table, curve)
+        obj.t_split = _split_table(obj.table, curve)
         return obj
 
 
 @functools.partial(jax.jit, static_argnames=("curve",))
 def _split_table_jit(table, curve):
-    """Point table (coords of (nlimbs, G, V) uint32) -> two bf16 tensors of
-    shape (nc, gc, V, L), pre-chunked leading axis, holding the low/high
-    bytes of each limb. bf16 represents ints < 256 exactly, which is what
+    """Point table (coords of (nlimbs, G, V) uint32) -> one bf16 tensor of
+    shape (nc, gc, V, 2L), pre-chunked leading axis, holding the low then
+    high bytes of each stored value (niels triple for ed, projective coords
+    for Weierstrass). bf16 represents ints < 256 exactly, which is what
     makes the one-hot-matmul lookup exact."""
-    full = jnp.concatenate(
-        [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
-    )  # (G, V, L)
-    groups, v, l_dim = full.shape
+    split = _split_any(table, curve)  # (G, V, 2L)
+    groups, v, l2 = split.shape
     gc = _table_chunk_groups(groups)
-    full = full.reshape(groups // gc, gc, v, l_dim)
-    t_lo = (full & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-    t_hi = (full >> 8).astype(jnp.bfloat16)
-    return t_lo, t_hi
+    return split.reshape(groups // gc, gc, v, l2)
 
 
 def _split_table(table, curve):
@@ -266,19 +333,22 @@ ONEHOT_BUDGET_BYTES = 128 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
-def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
-    """t_lo/t_hi: (nc, gc, 2^w, L) bf16 byte-split table (pre-chunked);
-    bit_rows: (R, G*w) uint8 in {0, 1}, G = nc*gc. Returns (R,) points:
+def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
+    """t_split: (nc, gc, 2^w, 2L) bf16 byte-split table (pre-chunked, low
+    bytes then high bytes along the last axis); bit_rows: (R, G*w) uint8 in
+    {0, 1}, G = nc*gc. Returns (R,) points:
     sum_g table[g, pack(bits[r, g*w:(g+1)*w])].
 
     The per-(row, group) table lookup is a one-hot contraction on the MXU —
-    einsum('rgv,gvl->rgl') with an exact 0/1 one-hot — instead of an XLA
-    gather (measured ~50x slower on TPU). The pre-chunked leading axis makes
-    the lax.map slicing zero-copy; rows are sub-blocked so the one-hot tensor
-    stays under ONEHOT_BUDGET_BYTES (row blocks are a small static python
-    loop — nesting lax.map around the Pallas kernels crashes the worker)."""
+    ONE einsum('rgv,gvl->rgl') over the concatenated lo|hi bytes with an
+    exact 0/1 one-hot — instead of an XLA gather (measured ~50x slower on
+    TPU). The pre-chunked leading axis makes the lax.map slicing zero-copy;
+    rows are sub-blocked so the one-hot tensor stays under
+    ONEHOT_BUDGET_BYTES (row blocks are a small static python loop — nesting
+    lax.map around the Pallas kernels crashes the worker)."""
     r_rows, n = bit_rows.shape
-    nc, gc, v, l_dim = t_lo.shape
+    nc, gc, v, l2 = t_split.shape
+    l_dim = l2 // 2
     groups = nc * gc
     assert groups * window_width == n
     nlimbs = curve.nlimbs
@@ -299,33 +369,47 @@ def _partition_products(t_lo, t_hi, bit_rows, window_width: int, curve=ed):
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (rb, gc, v), 2)
     # (nrb, nc, rb, gc): row-block-major, then chunk
     idx_blocks = idx.reshape(nrb, rb, nc, gc).swapaxes(1, 2)
+    from ..ops import pallas_point as pp
 
     def chunk(args):
-        lo_c, hi_c, idx_c = args  # lax.map slices t_lo's leading axis: no copy
-        onehot = (idx_c[:, :, None] == iota_v).astype(jnp.bfloat16)
-        sel_lo = jnp.einsum(
-            "rgv,gvl->rgl", onehot, lo_c, preferred_element_type=jnp.float32
+        ts_c, idx_c = args  # lax.map slices t_split's leading axis: no copy
+        onehot = (idx_c[:, :, None] == iota_v).astype(ts_c.dtype)
+        sel2 = jnp.einsum(
+            "rgv,gvl->rgl", onehot, ts_c, preferred_element_type=jnp.float32
         )
-        sel_hi = jnp.einsum(
-            "rgv,gvl->rgl", onehot, hi_c, preferred_element_type=jnp.float32
+        sel = sel2[..., :l_dim].astype(jnp.uint32) | (
+            sel2[..., l_dim:].astype(jnp.uint32) << 8
         )
-        sel = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8)
-        coords = [
-            jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
-            for k in range(curve.coord_count)
-        ]
-        pts = curve.make_point(*coords)  # (nlimbs, rb, gc)
-        from ..ops import pallas_point as pp
-
-        if pp.use_pallas() and pp.tree_fits(curve, gc):
-            red = pp.tree_reduce_lanes(curve, pts, gc)  # one fused kernel
+        if curve is ed:
+            a, b, t = (
+                jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
+                for k in range(3)
+            )
+            niels = ed.Niels(a, b, t)  # (nlimbs, rb, gc)
+            if pp.use_pallas() and pp.tree_fits(curve, gc):
+                red = pp.niels_tree_reduce_lanes(niels, gc)
+            elif gc % 2 == 0:
+                half = gc // 2
+                n1 = ed.Niels(*(c[:, :, :half] for c in niels))
+                n2 = ed.Niels(*(c[:, :, half:] for c in niels))
+                red = curve.tree_reduce(ed.niels_add(n1, n2), half)
+            else:
+                red = curve.tree_reduce(ed.niels_to_p3(niels), gc)
         else:
-            red = curve.tree_reduce(pts, gc)  # (rb,)
+            coords = [
+                jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
+                for k in range(curve.coord_count)
+            ]
+            pts = curve.make_point(*coords)  # (nlimbs, rb, gc)
+            if pp.use_pallas() and pp.tree_fits(curve, gc):
+                red = pp.tree_reduce_lanes(curve, pts, gc)  # one fused kernel
+            else:
+                red = curve.tree_reduce(pts, gc)  # (rb,)
         return jnp.stack(list(red))  # (coords, nlimbs, rb)
 
     row_results = []
     for rbi in range(nrb):  # small static count; keeps lax.map un-nested
-        out = lax.map(chunk, (t_lo, t_hi, idx_blocks[rbi]))  # (nc, coords, nl, rb)
+        out = lax.map(chunk, (t_split, idx_blocks[rbi]))  # (nc, coords, nl, rb)
         parts = curve.make_point(
             *(jnp.moveaxis(out[:, k], 0, -1) for k in range(curve.coord_count))
         )  # batch (rb, nc)
@@ -380,7 +464,7 @@ def _bits_from_bytes(scalars: np.ndarray) -> np.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
 )
-def _query_jit(t_lo, t_hi, scalars_dev, window_width, num_outputs, nbits, curve):
+def _query_jit(t_split, scalars_dev, window_width, num_outputs, nbits, curve):
     """One fused device program: unpack scalar bytes to bit rows, run the
     one-hot-matmul partition products, doubling-combine bits into outputs.
     Keeping the unpack on device means the host uploads only the raw scalar
@@ -391,7 +475,7 @@ def _query_jit(t_lo, t_hi, scalars_dev, window_width, num_outputs, nbits, curve)
     rows = bits.reshape(o, n_table, nbits).transpose(0, 2, 1).reshape(
         o * nbits, n_table
     )
-    products = _partition_products(t_lo, t_hi, rows, window_width, curve)
+    products = _partition_products(t_split, rows, window_width, curve)
     products = curve.reshape_batch(products, (num_outputs, nbits))
     return _doubling_combine(products, nbits, curve)
 
@@ -423,13 +507,13 @@ def _streaming_query_jit(
 
     def chunk(args):
         pts, scal = args
-        t_lo, t_hi = _build_split_table(curve.make_point(*pts), w, curve)
+        t_split = _build_split_table(curve.make_point(*pts), w, curve)
         shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
         bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
         rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1).reshape(
             o * nbits, chunk_n
         )
-        products = _partition_products(t_lo, t_hi, rows, w, curve)
+        products = _partition_products(t_split, rows, w, curve)
         return jnp.stack(list(products))  # (coords, nlimbs, R)
 
     if nchunks == 1:
@@ -487,7 +571,7 @@ def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
     if n < n_table:
         scalars = np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
     return _query_jit(
-        handle.t_lo, handle.t_hi, jnp.asarray(scalars), handle.window_width,
+        handle.t_split, jnp.asarray(scalars), handle.window_width,
         num_outputs, 8 * nbytes, curve,
     )
 
@@ -505,25 +589,49 @@ def _unpack_packed_scalars(
     return bits.T.copy()  # (bit_sum, n)
 
 
+def _record_with_result(handle, name, result, **arrays):
+    """Dump inputs + accessor + result for offline replay (reference
+    gpu_backend.cc:286-301 + multiexponentiation_serialization.h:71-93: the
+    reference writes accessor, bit table, scalars, and result). Replay with
+    ``python -m blitzar_tpu.cli replay <dir>``."""
+    from ..utils import recorder
+
+    path = recorder.new_record_dir(name)
+    if path is None:
+        return
+    import os
+
+    recorder.write_arrays(
+        path,
+        **arrays,
+        window_width=np.asarray(handle.window_width, np.uint32),
+        **{
+            f"result{i}": np.asarray(c)
+            for i, c in enumerate(result)
+        },
+    )
+    handle.write_to_file(os.path.join(path, "accessor"))
+
+
 def fixed_packed_multiexponentiation(
     handle: MultiexpHandle, output_bit_table, n: int, scalars
 ):
     """Reference sxt_fixed_packed_multiexponentiation (blitzar_api.h:712).
-    If BLITZAR_TPU_DUMP_DIR is set, inputs are recorded for offline replay
-    (reference gpu_backend.cc:286-301)."""
-    from ..utils import recorder
-
+    If BLITZAR_TPU_DUMP_DIR is set, the computation (inputs, accessor, and
+    result) is recorded for offline replay (reference gpu_backend.cc:286-301)."""
     curve = handle.curve
     output_bit_table = [int(b) for b in output_bit_table]
-    recorder.record(
+    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
+    result = _packed_core(handle, rows_np, output_bit_table, None)
+    _record_with_result(
+        handle,
         f"packed-{curve.name}",
+        result,
         output_bit_table=np.asarray(output_bit_table, np.uint32),
         n=np.asarray(n, np.uint64),
         scalars=np.asarray(scalars, np.uint8),
-        window_width=np.asarray(handle.window_width, np.uint32),
     )
-    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
-    return _packed_core(handle, rows_np, output_bit_table, None)
+    return result
 
 
 def fixed_vlen_multiexponentiation(
@@ -533,23 +641,23 @@ def fixed_vlen_multiexponentiation(
     output_lengths must be ascending; output o uses only the first
     output_lengths[o] generators — bits past the length are zeroed so their
     groups hit table entry 0 (identity)."""
-    from ..utils import recorder
-
     output_bit_table = [int(b) for b in output_bit_table]
     output_lengths = [int(v) for v in output_lengths]
-    recorder.record(
-        f"vlen-{handle.curve.name}",
-        output_bit_table=np.asarray(output_bit_table, np.uint32),
-        output_lengths=np.asarray(output_lengths, np.uint32),
-        scalars=np.asarray(scalars, np.uint8),
-        window_width=np.asarray(handle.window_width, np.uint32),
-    )
     assert all(
         a <= b for a, b in zip(output_lengths, output_lengths[1:])
     ), "output_lengths must be sorted ascending"
     n = max(output_lengths) if output_lengths else 0
     rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
-    return _packed_core(handle, rows_np, output_bit_table, output_lengths)
+    result = _packed_core(handle, rows_np, output_bit_table, output_lengths)
+    _record_with_result(
+        handle,
+        f"vlen-{handle.curve.name}",
+        result,
+        output_bit_table=np.asarray(output_bit_table, np.uint32),
+        output_lengths=np.asarray(output_lengths, np.uint32),
+        scalars=np.asarray(scalars, np.uint8),
+    )
+    return result
 
 
 def _packed_core(handle, rows_np, output_bit_table, output_lengths):
@@ -565,7 +673,7 @@ def _packed_core(handle, rows_np, output_bit_table, output_lengths):
         for o, length in enumerate(output_lengths):
             rows_np[starts[o] : starts[o + 1], length:] = 0
     products = _partition_products(
-        handle.t_lo, handle.t_hi, jnp.asarray(rows_np), handle.window_width, curve
+        handle.t_split, jnp.asarray(rows_np), handle.window_width, curve
     )
     # combine each output's bit range (bit counts may differ per output)
     outputs = []

@@ -96,14 +96,14 @@ def msm_partition_sharded_jit(
 
     def local(pts, scal):
         table = _fixed._build_table(curve.make_point(*pts), window_width, curve)
-        t_lo, t_hi = _fixed._split_table_jit(table, curve)
+        t_split = _fixed._split_table_jit(table, curve)
         o, n_local, nbytes = scal.shape
         shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
         bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
         rows = bits.reshape(o, n_local, nbits).transpose(0, 2, 1).reshape(
             o * nbits, n_local
         )
-        products = _fixed._partition_products(t_lo, t_hi, rows, window_width, curve)
+        products = _fixed._partition_products(t_split, rows, window_width, curve)
         gathered = jax.lax.all_gather(jnp.stack(list(products)), AXIS)
         # (D, coords, nlimbs, R) -> fold over D
         parts = curve.make_point(

@@ -63,6 +63,40 @@ def _double_body(px, py, pz, pt, ox, oy, oz, ot):
     ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
 
 
+def _niels_add_kernel_body(pa, pb, pt, qa, qb, qt, ox, oy, oz, ot):
+    from ..curves import edwards25519 as ed
+
+    with F.diag_mode():
+        n1 = ed.Niels(pa[:], pb[:], pt[:])
+        n2 = ed.Niels(qa[:], qb[:], qt[:])
+        r = ed._niels_add_impl(n1, n2)
+    ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _niels_add_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _niels_add_kernel_body,
+        grid=(m // blk,),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def niels_add(n1, n2, interpret: bool = False):
+    from ..curves import edwards25519 as ed
+
+    out = _run(list(n1) + list(n2), _niels_add_tiled, interpret)
+    return ed.PointP3(*out)
+
+
 def _tiles(c, m):
     """(16, B) -> (16, m, 128) zero-padded."""
     b = c.shape[1]
@@ -227,6 +261,81 @@ def tree_reduce_lanes(curve, point, size: int, interpret: bool = False):
 def tree_fits(curve, size: int) -> bool:
     per_row = curve.coord_count * curve.nlimbs * size * 4 * 3
     return (size & (size - 1)) == 0 and size > LANES and per_row <= TREE_VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# niels tree reduction: input is a (R, size) batch of niels-form TABLE
+# ENTRIES (a, b, t — 3 coords, z = 1); the first halving level uses the
+# cheaper 7-mul niels+niels add, later levels the standard extended add.
+# This is the reduce stage of the partition-product query (msm/fixed.py).
+# ---------------------------------------------------------------------------
+
+
+def _niels_tree_body_factory(size: int):
+    def body(ra, rb, rt, ox, oy, oz, ot):
+        from ..curves import edwards25519 as ed
+
+        with F.diag_mode():
+            a, b, t = ra[:], rb[:], rt[:]
+            half = size // 2
+            n1 = ed.Niels(a[:, :, :half], b[:, :, :half], t[:, :, :half])
+            n2 = ed.Niels(a[:, :, half:], b[:, :, half:], t[:, :, half:])
+            vals = list(ed._niels_add_impl(n1, n2))
+            cur = half
+            while cur > LANES:
+                h = cur // 2
+                lo = ed.PointP3(*(v[:, :, :h] for v in vals))
+                hi = ed.PointP3(*(v[:, :, h : 2 * h] for v in vals))
+                vals = list(ed._add_impl(lo, hi))
+                cur = h
+        for o, v in zip((ox, oy, oz, ot), vals):
+            o[:] = v
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def _niels_tree_tiled(coords, size: int, interpret: bool):
+    from ..curves import edwards25519 as ed
+
+    nl = F.NLIMBS
+    r = coords[0].shape[1]
+    blk = _tree_blk(ed, size, r)
+    in_spec = pl.BlockSpec((nl, blk, size), lambda i: (0, i, 0))
+    out_spec = pl.BlockSpec((nl, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((nl, r, LANES), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _niels_tree_body_factory(size),
+        grid=(-(-r // blk),),
+        in_specs=[in_spec] * 3,
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def niels_tree_reduce_lanes(niels, size: int, interpret: bool = False):
+    """niels: ed.Niels batch (R, size), size a power of two > 128 ->
+    (R,) extended points."""
+    from ..curves import edwards25519 as ed
+
+    r = niels[0].shape[1]
+    blk = _tree_blk(ed, size, r)
+    pad = (-r) % blk
+    coords = list(niels)
+    if pad:
+        # niels identity: (1, 1, 0)
+        pad_a = F.from_int_const(1, (pad, size))
+        pad_t = F.zeros((pad, size))
+        pads = (pad_a, pad_a, pad_t)
+        coords = [jnp.concatenate([c, pc], axis=1) for c, pc in zip(coords, pads)]
+    out = _niels_tree_tiled(coords, size, interpret)
+    if pad:
+        out = [c[:, :r] for c in out]
+    point128 = ed.PointP3(*out)  # (R, 128)
+    return ed.tree_reduce(point128, LANES)
 
 
 # ---------------------------------------------------------------------------

@@ -107,8 +107,8 @@ def _commit_to_fold(a, b, gens_plus_q: ed.PointP3, mid: int):
         )
         scal_bytes = jnp.pad(scal_bytes, ((0, 0), (0, n_pad - n_pts), (0, 0)))
     table = _fixed._build_table(gens_plus_q, w, ed)
-    t_lo, t_hi = _fixed._split_table_jit(table, ed)
-    out = _fixed._query_jit(t_lo, t_hi, scal_bytes, w, 2, 256, ed)
+    t_split = _fixed._split_table_jit(table, ed)
+    out = _fixed._query_jit(t_split, scal_bytes, w, 2, 256, ed)
     return rst.encode(out).T  # (2, 32)
 
 

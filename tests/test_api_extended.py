@@ -114,6 +114,15 @@ def test_recorder_dump_and_replay(tmp_path, monkeypatch):
     data = recorder.replay(os.path.join(tmp_path, dirs[0]))
     assert (data["scalars"] == packed).all()
     assert list(data["output_bit_table"]) == bit_table
+    # accessor + result are recorded too; replay_run re-executes and compares
+    monkeypatch.delenv(recorder.ENV_VAR)
+    name, ok = recorder.replay_run(os.path.join(tmp_path, dirs[0]))
+    assert ok and name == dirs[0]
+
+    # and via the CLI
+    from blitzar_tpu import cli
+
+    assert cli.main(["replay", os.path.join(tmp_path, dirs[0])]) == 0
 
 
 def test_cli_partition_table(tmp_path):
