@@ -33,17 +33,22 @@ class PointP3(NamedTuple):
         return self.x.shape[1:]
 
 
-D2_INT = (2 * _D_INT) % (2**255 - 19)
+_P = 2**255 - 19
+D2_INT = (2 * _D_INT) % _P
 # 1/2 mod p (used to reconstruct x, y from a niels triple)
-INV2_INT = (2**255 - 19 + 1) // 2
+INV2_INT = (_P + 1) // 2
+# (2d)^-1 mod p (recovers t = x*y from the pre-scaled stored coordinate)
+INV_D2_INT = pow(D2_INT, _P - 2, _P)
 
 
 class Niels(NamedTuple):
-    """Affine precomputed form: (a, b, t) = (y + x, y - x, x * y), z = 1
-    implied — the storage form of partition-table entries (the analog of
-    libsodium's ge25519_precomp / the reference's compact_element,
-    curve21/type/compact_element.h, chosen so the first table-reduce add
-    needs 7 muls instead of 9)."""
+    """Affine precomputed form: (a, b, t2d) = (y + x, y - x, 2d * x * y),
+    z = 1 implied — the storage form of partition-table entries (the analog
+    of libsodium's ge25519_precomp / the reference's compact_element,
+    curve21/type/compact_element.h). Pre-scaling the t coordinate by 2d
+    makes the mixed add (madd) of an extended accumulator and a table entry
+    exactly 7 muls — the hot op of the fused lookup kernel
+    (ops/pallas_point.py)."""
 
     a: jnp.ndarray
     b: jnp.ndarray
@@ -84,10 +89,11 @@ def _niels_add_impl(n1: Niels, n2: Niels) -> PointP3:
     """Sum of two niels-form (z = 1) points -> extended. Same unified
     add-2008-hwcd-3 law as _add_impl with Z1 = Z2 = 1 and the (y±x) sums
     precomputed in the representation: 7 muls + 1 const-mul (vs 9 + 1 + 1).
-    Complete — the identity is (1, 1, 0)."""
+    Both stored t's carry a 2d factor, so C = t1*t2/(2d). Complete — the
+    identity is (1, 1, 0)."""
     a = F.mul(n1.b, n2.b)
     b = F.mul(n1.a, n2.a)
-    c = F.mul_const(F.mul(n1.t, n2.t), D2_INT)
+    c = F.mul_const(F.mul(n1.t, n2.t), INV_D2_INT)
     e = F.sub(b, a)
     f = F.sub_from_const(2, c)
     g = F.add_const(c, 2)
@@ -95,12 +101,27 @@ def _niels_add_impl(n1: Niels, n2: Niels) -> PointP3:
     return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
 
 
+def _madd_impl(p: PointP3, n: Niels) -> PointP3:
+    """Mixed add: extended + niels table entry (z2 = 1, t2 pre-scaled by
+    2d) -> extended. 7 muls, no constant mul (libsodium ge25519_madd).
+    Complete for the same reason the unified add is."""
+    a = F.mul(F.sub(p.y, p.x), n.b)
+    b = F.mul(F.add(p.y, p.x), n.a)
+    c = F.mul(p.t, n.t)  # = 2d * T1 * t2
+    d = F.mul_small(p.z, 2)
+    e = F.sub(b, a)
+    f = F.sub(d, c)
+    g = F.add(d, c)
+    h = F.add(b, a)
+    return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
 def niels_to_p3(n: Niels) -> PointP3:
-    """(a, b, t) -> (x, y, 1, t) with x = (a-b)/2, y = (a+b)/2."""
+    """(a, b, 2d*t) -> (x, y, 1, t) with x = (a-b)/2, y = (a+b)/2."""
     x = F.mul_const(F.sub(n.a, n.b), INV2_INT)
     y = F.mul_const(F.add(n.a, n.b), INV2_INT)
     one = F.from_int_const(1, x.shape[1:])
-    return PointP3(x, y, one, n.t)
+    return PointP3(x, y, one, F.mul_const(n.t, INV_D2_INT))
 
 
 def niels_add(n1: Niels, n2: Niels) -> PointP3:

@@ -141,38 +141,40 @@ def _batch_invert_lanes(z):
 
 
 def _ed_niels_split(table: "ed.PointP3"):
-    """Extended table batch (.., V) -> bf16 byte-split niels storage
-    (.., V, 96): last axis is [a | b | t] x 16 limbs, low bytes then high
-    bytes. Storing the affine (y+x, y-x, xy) triple instead of projective
-    (x, y, z, t) drops table memory and lookup-matmul work by 25% and makes
-    the first reduce level a 7-mul niels add (curves/edwards25519.py)."""
+    """Extended table batch (.., V) -> byte-split niels storage
+    (.., 96, V): axis -2 is [a | b | 2d*t] x 16 limbs, low bytes then high
+    bytes; the table-entry axis V rides the vector lanes. Storing the
+    affine (y+x, y-x, 2d*xy) triple instead of projective (x, y, z, t)
+    drops table memory and lookup-matmul work by 25% and makes every
+    accumulation a 7-mul mixed add (curves/edwards25519.py,
+    ops/pallas_point.py ed_lookup_msm)."""
     zinv = _batch_invert_lanes(table.z)
     xa = F25519.mul(table.x, zinv)
     ya = F25519.mul(table.y, zinv)
     a = F25519.add(ya, xa)
     b = F25519.sub(ya, xa)
-    t = F25519.mul(xa, ya)
+    t = F25519.mul_const(F25519.mul(xa, ya), ed.D2_INT)
     full = jnp.concatenate(
-        [jnp.moveaxis(c, 0, -1) for c in (a, b, t)], axis=-1
-    )  # (.., V, 48)
+        [jnp.moveaxis(c, 0, -2) for c in (a, b, t)], axis=-2
+    )  # (.., 48, V)
     dt = _table_dtype()
     return jnp.concatenate(
         [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
-        axis=-1,
+        axis=-2,
     )
 
 
 def _w_split(table, curve):
-    """Weierstrass storage: projective coords byte-split, (.., V, 2L).
+    """Weierstrass storage: projective coords byte-split, (.., 2L, V).
     (Affine + marker is not usable here: the complete projective formulas
     need z, and the identity entry has z = 0.)"""
     full = jnp.concatenate(
-        [jnp.moveaxis(c, 0, -1) for c in table], axis=-1
-    )  # (.., V, L)
+        [jnp.moveaxis(c, 0, -2) for c in table], axis=-2
+    )  # (.., L, V)
     dt = _table_dtype()
     return jnp.concatenate(
         [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
-        axis=-1,
+        axis=-2,
     )
 
 
@@ -184,7 +186,7 @@ def _split_any(table, curve):
 def _build_split_table(points, window_width: int, curve=ed):
     """Like _build_table followed by the storage split, but chunked so the
     full uint32 point table is never materialized — each group chunk is built
-    and immediately split to bf16. Returns a (nc, gc, V, 2L) tensor
+    and immediately split. Returns a (nc, gc, 2L, V) tensor
     (L = 48 niels values for ed, coord_count*nlimbs for Weierstrass),
     pre-chunked on the leading axis (queries lax.map over it with zero-copy
     slicing). This is what lets w=8 tables fit HBM at n = 2^20."""
@@ -224,7 +226,7 @@ def _build_split_table(points, window_width: int, curve=ed):
     chunked = [
         c.reshape(nl, nchunks, gc, window_width).swapaxes(0, 1) for c in pts
     ]
-    return lax.map(build_chunk, chunked)  # (nchunks, gc, V, 2L)
+    return lax.map(build_chunk, chunked)  # (nchunks, gc, 2L, V)
 
 
 class MultiexpHandle:
@@ -243,7 +245,7 @@ class MultiexpHandle:
                 *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
             )
         self.num_groups = n_pad // w
-        self.t_split = _build_split_table(points, w, curve)  # (nc, gc, V, 2L)
+        self.t_split = _build_split_table(points, w, curve)  # (nc, gc, 2L, V)
         # the uint32 point table is reconstructed on demand (write_to_file)
         self.table = None
 
@@ -256,21 +258,21 @@ class MultiexpHandle:
         curve = self.curve
         nl = curve.nlimbs
         ts = jnp.asarray(self.t_split)
-        l_dim = ts.shape[-1] // 2
-        full = ts[..., :l_dim].astype(jnp.uint32) | (
-            ts[..., l_dim:].astype(jnp.uint32) << 8
-        )  # (nc, gc, V, L)
-        nc, gc, v, _ = full.shape
-        flat = full.reshape(nc * gc, v, l_dim)
+        l_dim = ts.shape[-2] // 2
+        full = ts[..., :l_dim, :].astype(jnp.uint32) | (
+            ts[..., l_dim:, :].astype(jnp.uint32) << 8
+        )  # (nc, gc, L, V)
+        nc, gc, _, v = full.shape
+        flat = full.reshape(nc * gc, l_dim, v)  # (G, L, V)
         if curve is ed:
             a, b, t = (
-                jnp.moveaxis(flat[..., k * nl : (k + 1) * nl], -1, 0)
+                jnp.moveaxis(flat[:, k * nl : (k + 1) * nl, :], 1, 0)
                 for k in range(3)
             )
             return ed.niels_to_p3(ed.Niels(a, b, t))
         return curve.make_point(
             *(
-                jnp.moveaxis(flat[..., k * nl : (k + 1) * nl], -1, 0)
+                jnp.moveaxis(flat[:, k * nl : (k + 1) * nl, :], 1, 0)
                 for k in range(curve.coord_count)
             )
         )
@@ -313,15 +315,15 @@ class MultiexpHandle:
 
 @functools.partial(jax.jit, static_argnames=("curve",))
 def _split_table_jit(table, curve):
-    """Point table (coords of (nlimbs, G, V) uint32) -> one bf16 tensor of
-    shape (nc, gc, V, 2L), pre-chunked leading axis, holding the low then
-    high bytes of each stored value (niels triple for ed, projective coords
-    for Weierstrass). bf16 represents ints < 256 exactly, which is what
-    makes the one-hot-matmul lookup exact."""
-    split = _split_any(table, curve)  # (G, V, 2L)
-    groups, v, l2 = split.shape
+    """Point table (coords of (nlimbs, G, V) uint32) -> one tensor of shape
+    (nc, gc, 2L, V), pre-chunked leading axis, holding the low then high
+    bytes of each stored value (niels triple for ed, projective coords for
+    Weierstrass). bf16 on TPU / f32 on CPU — both represent ints < 256
+    exactly, which is what makes the one-hot-matmul lookup exact."""
+    split = _split_any(table, curve)  # (G, 2L, V)
+    groups, l2, v = split.shape
     gc = _table_chunk_groups(groups)
-    return split.reshape(groups // gc, gc, v, l2)
+    return split.reshape(groups // gc, gc, l2, v)
 
 
 def _split_table(table, curve):
@@ -334,20 +336,25 @@ ONEHOT_BUDGET_BYTES = 128 << 20
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve"))
 def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
-    """t_split: (nc, gc, 2^w, 2L) bf16 byte-split table (pre-chunked, low
-    bytes then high bytes along the last axis); bit_rows: (R, G*w) uint8 in
-    {0, 1}, G = nc*gc. Returns (R,) points:
+    """t_split: (nc, gc, 2L, 2^w) byte-split table (pre-chunked; low bytes
+    then high bytes along axis -2); bit_rows: (R, G*w) uint8 in {0, 1},
+    G = nc*gc. Returns (R,) points:
     sum_g table[g, pack(bits[r, g*w:(g+1)*w])].
 
-    The per-(row, group) table lookup is a one-hot contraction on the MXU —
-    ONE einsum('rgv,gvl->rgl') over the concatenated lo|hi bytes with an
-    exact 0/1 one-hot — instead of an XLA gather (measured ~50x slower on
-    TPU). The pre-chunked leading axis makes the lax.map slicing zero-copy;
-    rows are sub-blocked so the one-hot tensor stays under
+    Fast path (TPU, curve25519): pp.ed_lookup_msm — ONE fused Pallas kernel
+    whose grid streams table tiles through VMEM, forms the one-hot there,
+    looks entries up on the MXU, and accumulates with 7-mul mixed adds.
+    The one-hot and the selected entries never touch HBM, which is what the
+    XLA fallback below pays for (its materialized one-hot is the dominant
+    HBM traffic of the whole query).
+
+    Fallback (CPU / Weierstrass / odd shapes): one-hot einsum
+    ('rgv,glv->rgl') per table chunk — still no XLA gather (measured ~50x
+    slower on TPU). Rows are sub-blocked so the one-hot stays under
     ONEHOT_BUDGET_BYTES (row blocks are a small static python loop — nesting
     lax.map around the Pallas kernels crashes the worker)."""
     r_rows, n = bit_rows.shape
-    nc, gc, v, l2 = t_split.shape
+    nc, gc, l2, v = t_split.shape
     l_dim = l2 // 2
     groups = nc * gc
     assert groups * window_width == n
@@ -359,6 +366,11 @@ def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
         axis=-1,
     )  # (R, G)
 
+    from ..ops import pallas_point as pp
+
+    if curve is ed and pp.use_pallas() and pp.lookup_msm_fits(groups, v, r_rows):
+        return pp.ed_lookup_msm(t_split.reshape(groups, l2, v), idx)
+
     rb = max(1, ONEHOT_BUDGET_BYTES // (gc * v * 2))
     rb = min(rb, r_rows)
     r_pad = -(-r_rows // rb) * rb
@@ -369,13 +381,12 @@ def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (rb, gc, v), 2)
     # (nrb, nc, rb, gc): row-block-major, then chunk
     idx_blocks = idx.reshape(nrb, rb, nc, gc).swapaxes(1, 2)
-    from ..ops import pallas_point as pp
 
     def chunk(args):
         ts_c, idx_c = args  # lax.map slices t_split's leading axis: no copy
         onehot = (idx_c[:, :, None] == iota_v).astype(ts_c.dtype)
         sel2 = jnp.einsum(
-            "rgv,gvl->rgl", onehot, ts_c, preferred_element_type=jnp.float32
+            "rgv,glv->rgl", onehot, ts_c, preferred_element_type=jnp.float32
         )
         sel = sel2[..., :l_dim].astype(jnp.uint32) | (
             sel2[..., l_dim:].astype(jnp.uint32) << 8

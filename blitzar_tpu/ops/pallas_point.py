@@ -339,6 +339,114 @@ def niels_tree_reduce_lanes(niels, size: int, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# fused partition-table lookup + accumulate (the whole hot path of the
+# fixed-MSM query, msm/fixed.py _partition_products): the grid streams
+# (GT, 2L, V) table tiles through VMEM; for each of the GT groups the
+# transposed one-hot (V, RB) is formed IN VMEM and contracted on the MXU
+# against the tile's (2L, V) bytes; the selected niels entries are
+# accumulated into GT extended-point accumulators with 7-mul mixed adds
+# (curves/edwards25519.py _madd_impl). Neither the one-hot nor the selected
+# entries ever touch HBM — the XLA fallback materializes both, and that
+# traffic dominates its runtime.
+# ---------------------------------------------------------------------------
+
+LOOKUP_RB = 256  # scalar-bit rows per block
+LOOKUP_GT = 16  # table groups per grid step (16 beat 32/64 on v5e: smaller tiles double-buffer better under the ~16MB VMEM)
+
+
+def _lookup_body_factory(gt: int, v_dim: int, rb: int):
+    def body(t_ref, idx_ref, ox, oy, oz, ot):
+        from ..curves import edwards25519 as ed
+
+        g_step = pl.program_id(1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (v_dim, rb), 0)
+        sels = []
+        for j in range(gt):
+            onehot_t = (idx_ref[j, :][None, :] == iota).astype(t_ref.dtype)
+            sels.append(
+                jnp.dot(t_ref[j], onehot_t, preferred_element_type=jnp.float32)
+            )  # (2L, RB)
+        st = jnp.stack(sels, axis=1)  # (2L, GT, RB)
+        nl = F.NLIMBS
+        # Mosaic has no f32->u32 cast; round-trip through i32 (values < 256)
+        si = st.astype(jnp.int32).astype(jnp.uint32)
+        u = si[: 3 * nl] | (si[3 * nl :] << 8)  # (48, GT, RB)
+        n = ed.Niels(u[0:nl], u[nl : 2 * nl], u[2 * nl : 3 * nl])
+
+        with F.diag_mode():
+
+            @pl.when(g_step == 0)
+            def _init():
+                zero = jnp.zeros((nl, gt, rb), jnp.uint32)
+                one = jnp.concatenate(
+                    [jnp.full((1, gt, rb), 1, jnp.uint32),
+                     jnp.zeros((nl - 1, gt, rb), jnp.uint32)],
+                    axis=0,
+                )
+                ox[:], oy[:], oz[:], ot[:] = zero, one, one, zero
+
+            acc = ed.PointP3(ox[:], oy[:], oz[:], ot[:])
+            r = ed._madd_impl(acc, n)
+        ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "interpret"))
+def _lookup_tiled(t_flat, idx, rb: int, interpret: bool):
+    groups, l2, v_dim = t_flat.shape
+    r = idx.shape[1]
+    gt = LOOKUP_GT
+    nl = F.NLIMBS
+    grid = (r // rb, groups // gt)
+    out_shape = [
+        jax.ShapeDtypeStruct((nl, gt, r), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _lookup_body_factory(gt, v_dim, rb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gt, l2, v_dim), lambda ri, gi: (gi, 0, 0)),
+            # idx arrives transposed (G, R): the row axis must ride the
+            # 128-divisible minor block dim (Mosaic block-shape rule)
+            pl.BlockSpec((gt, rb), lambda ri, gi: (gi, ri)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nl, gt, rb), lambda ri, gi: (0, 0, ri))
+        ] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(t_flat, idx)
+
+
+def lookup_msm_fits(groups: int, v_dim: int, r_rows: int) -> bool:
+    # rows below one (8, 128) tile would leave the kernel's vector lanes
+    # mostly idle AND produce sub-128 block minor dims; use the XLA path
+    return (
+        v_dim == 256
+        and groups >= LOOKUP_GT
+        and groups % LOOKUP_GT == 0
+        and r_rows >= 128
+    )
+
+
+def ed_lookup_msm(t_flat, idx, interpret: bool = False):
+    """t_flat: (G, 96, 256) byte-split niels table; idx: (R, G) int32 table
+    indices -> (R,) extended points: sum_g table[g, idx[r, g]]."""
+    from ..curves import edwards25519 as ed
+
+    r_rows, groups = idx.shape
+    rb = min(LOOKUP_RB, max(8, -(-r_rows // 8) * 8))
+    r_pad = -(-r_rows // rb) * rb
+    if r_pad != r_rows:
+        idx = jnp.pad(idx, ((0, r_pad - r_rows), (0, 0)))  # entry 0 = identity
+    out = _lookup_tiled(t_flat, idx.T, rb, interpret)  # 4 x (16, GT, r_pad)
+    pt = ed.PointP3(*(jnp.swapaxes(c, 1, 2) for c in out))  # (16, r_pad, GT)
+    total = ed.tree_reduce(pt, LOOKUP_GT)  # (r_pad,)
+    return ed.index_batch(total, (slice(0, r_rows),))
+
+
+# ---------------------------------------------------------------------------
 # fused doubling-ladder combine: out[o] = sum_b 2^b * products[o, b]
 # (reference pippenger2/reduce.h doubling reduction). One kernel instead of
 # num_bits sequential (double + add) dispatches — the ladder's tiny widths

@@ -60,3 +60,77 @@ def test_weierstrass_add_double_interpret(curve):
     d_plain = curve._double_impl(batch)
     for c1, c2 in zip(d_kernel, d_plain):
         assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+def test_niels_add_and_madd_interpret(points):
+    """Niels-form law (table-entry storage, t pre-scaled by 2d) vs the
+    plain extended law."""
+    from blitzar_tpu.fields import fp25519 as F
+
+    p = ed.index_batch(points, (slice(0, 64),))
+    q = ed.index_batch(points, (slice(64, 128),))
+
+    def to_niels(pt):
+        zinv = F.invert(pt.z)
+        xa, ya = F.mul(pt.x, zinv), F.mul(pt.y, zinv)
+        return ed.Niels(
+            F.add(ya, xa),
+            F.sub(ya, xa),
+            F.mul_const(F.mul(xa, ya), ed.D2_INT),
+        )
+
+    n1, n2 = to_niels(p), to_niels(q)
+    expect = ed._add_impl(p, q)
+
+    # niels + niels (kernel and plain)
+    got_plain = ed._niels_add_impl(n1, n2)
+    got_kernel = pp.niels_add(n1, n2, interpret=True)
+    from blitzar_tpu.curves import ristretto as rst
+
+    for got in (got_plain, got_kernel):
+        assert (
+            np.asarray(rst.encode(got)) == np.asarray(rst.encode(expect))
+        ).all()
+
+    # extended + niels mixed add
+    got_madd = ed._madd_impl(p, n2)
+    assert (
+        np.asarray(rst.encode(got_madd)) == np.asarray(rst.encode(expect))
+    ).all()
+
+    # identity handling: madd with the niels identity (1, 1, 0)
+    one = F.from_int_const(1, (64,))
+    zero = F.zeros((64,))
+    got_id = ed._madd_impl(p, ed.Niels(one, one, zero))
+    assert (
+        np.asarray(rst.encode(got_id)) == np.asarray(rst.encode(p))
+    ).all()
+
+
+def test_ed_lookup_msm_interpret():
+    """The fused lookup+accumulate kernel (msm fast path) vs a pure-Python
+    subset-sum oracle."""
+    from blitzar_tpu.msm import fixed
+    from blitzar_tpu.curves import ristretto as rst
+    from blitzar_tpu.refimpl import core as R
+
+    n, w = 256, 8  # G = 32 groups of 8, V = 256
+    handle = fixed.MultiexpHandle(gen.ristretto_generators(n), window_width=w)
+    g_count = handle.num_groups
+    t_flat = np.asarray(handle.t_split).reshape(g_count, 96, 256)
+
+    rng = np.random.default_rng(42)
+    r_rows = 16
+    idx = rng.integers(0, 256, size=(r_rows, g_count), dtype=np.int32)
+    got = pp.ed_lookup_msm(t_flat, idx, interpret=True)
+    got_bytes = np.asarray(rst.encode(got)).T  # (r_rows, 32)
+
+    pts = R.get_generators(n)
+    for r in range(r_rows):
+        acc = (0, 1, 1, 0)
+        for g in range(g_count):
+            v = int(idx[r, g])
+            for j in range(w):
+                if v >> j & 1:
+                    acc = R.pt_add(acc, pts[g * w + j])
+        assert bytes(got_bytes[r]) == R.ristretto_encode(acc), f"row {r}"
