@@ -116,6 +116,47 @@ def _madd_impl(p: PointP3, n: Niels) -> PointP3:
     return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
 
 
+class Cached(NamedTuple):
+    """Projective precomputed form: (a, b, z, t2d) = (y+x, y-x, z, 2d*t) —
+    the z-unnormalized analog of Niels (libsodium ge25519_cached). Built
+    from extended coordinates with just two adds and one const-mul, so it
+    is the table form for STREAMED (build-per-query) MSMs, where the niels
+    form's batch inversion would dominate the build."""
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    z: jnp.ndarray
+    t: jnp.ndarray
+
+
+def to_cached(p: PointP3) -> Cached:
+    return Cached(
+        F.add(p.y, p.x), F.sub(p.y, p.x), p.z, F.mul_const(p.t, D2_INT)
+    )
+
+
+def cached_to_p3(c: Cached) -> PointP3:
+    """(a, b, z, 2d*t) -> extended (x, y, z, t) with x*y = t*z."""
+    x = F.mul_const(F.sub(c.a, c.b), INV2_INT)
+    y = F.mul_const(F.add(c.a, c.b), INV2_INT)
+    return PointP3(x, y, c.z, F.mul_const(c.t, INV_D2_INT))
+
+
+def _cadd_impl(p: PointP3, c: Cached) -> PointP3:
+    """Mixed add: extended + cached table entry -> extended. 8 muls + one
+    small-mul (libsodium ge25519_add). Complete."""
+    a = F.mul(F.sub(p.y, p.x), c.b)
+    b = F.mul(F.add(p.y, p.x), c.a)
+    cc = F.mul(p.t, c.t)  # = 2d * T1 * T2
+    zz = F.mul(p.z, c.z)
+    d = F.mul_small(zz, 2)
+    e = F.sub(b, a)
+    f = F.sub(d, cc)
+    g = F.add(d, cc)
+    h = F.add(b, a)
+    return PointP3(F.mul(e, f), F.mul(g, h), F.mul(f, g), F.mul(e, h))
+
+
 def niels_to_p3(n: Niels) -> PointP3:
     """(a, b, 2d*t) -> (x, y, 1, t) with x = (a-b)/2, y = (a+b)/2."""
     x = F.mul_const(F.sub(n.a, n.b), INV2_INT)

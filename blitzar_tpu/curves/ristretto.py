@@ -19,10 +19,15 @@ def _c(value: int, batch_ndim: int):
     return F.from_int_const(value, (1,) * batch_ndim)
 
 
+def _cfull(value: int, like):
+    """Constant at the operand's FULL batch shape — required inside Pallas
+    kernel bodies (Mosaic cannot broadcast (1, 1) vector tiles)."""
+    return F.from_int_const(value, like.shape[1:])
+
+
 def sqrt_ratio_m1(u, v):
     """Batched SQRT_RATIO_M1: (was_square, x) with x non-negative."""
-    nd = max(u.ndim, v.ndim) - 1
-    sqrtm1 = _c(_ref.SQRT_M1, nd)
+    sqrtm1 = _cfull(_ref.SQRT_M1, v if v.ndim >= u.ndim else u)
     v3 = F.mul(F.sq(v), v)
     x = F.mul(F.mul(F.sq(v3), v), u)  # u * v^7
     x = F.pow22523(x)
@@ -100,18 +105,19 @@ def _parse_255(data):
 
 
 def elligator(t_limbs) -> PointP3:
-    """Batched ristretto255 one-way map of a field element."""
-    nd = t_limbs.ndim - 1
-    sqrtm1 = _c(_ref.SQRT_M1, nd)
-    one = _c(1, nd)
-    d_const = _c(_ref.D, nd)
-    one_minus_dsq = _c(_ref.ONE_MINUS_D_SQ, nd)
-    d_minus_one_sq = _c(_ref.D_MINUS_ONE_SQ, nd)
-    sqrt_ad_m1 = _c(_ref.SQRT_AD_MINUS_ONE, nd)
+    """Batched ristretto255 one-way map of a field element. Constants are
+    built at full batch shape so the body is Pallas-kernelizable
+    (ops/pallas_point.py elligator_form)."""
+    sqrtm1 = _cfull(_ref.SQRT_M1, t_limbs)
+    one = _cfull(1, t_limbs)
+    d_const = _cfull(_ref.D, t_limbs)
+    one_minus_dsq = _cfull(_ref.ONE_MINUS_D_SQ, t_limbs)
+    d_minus_one_sq = _cfull(_ref.D_MINUS_ONE_SQ, t_limbs)
+    sqrt_ad_m1 = _cfull(_ref.SQRT_AD_MINUS_ONE, t_limbs)
 
     r = F.mul(F.mul(sqrtm1, t_limbs), t_limbs)
     u = F.mul(F.add(r, one), one_minus_dsq)
-    neg_one = F.neg(jnp.broadcast_to(one, r.shape))
+    neg_one = F.neg(one)
     rpd = F.add(r, d_const)
     v = F.mul(F.sub(neg_one, F.mul(r, d_const)), rpd)
     was_square, s = sqrt_ratio_m1(u, v)

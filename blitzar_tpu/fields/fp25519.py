@@ -54,9 +54,16 @@ def zeros(batch_shape=()):
 
 
 def from_int_const(value: int, batch_shape=()):
-    """Broadcast a Python-int field constant to (16, *batch)."""
+    """Broadcast a Python-int field constant to (16, *batch). In diag mode
+    (inside Pallas kernel bodies) the limbs are scalar immediates broadcast
+    with jnp.full — a jnp.array literal would become a captured constant,
+    which pallas_call rejects."""
     value %= 2**256
     limbs = [(value >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
+    if _DIAG[-1]:
+        return jnp.stack(
+            [jnp.full(tuple(batch_shape), l, jnp.uint32) for l in limbs]
+        )
     c = jnp.array(limbs, dtype=jnp.uint32).reshape((NLIMBS,) + (1,) * len(batch_shape))
     return jnp.broadcast_to(c, (NLIMBS,) + tuple(batch_shape))
 
@@ -262,26 +269,34 @@ def pow2k(a, k: int):
     return lax.fori_loop(0, k, lambda _, x: sq(x), a)
 
 
-def _pow_chain_250(z):
-    """z^(2^250 - 1), the shared prefix of the inversion / pow22523 chains."""
-    z2 = sq(z)
-    z9 = mul(pow2k(z2, 2), z)
-    z11 = mul(z9, z2)
-    z2_5_0 = mul(sq(z11), z9)  # 2^5 - 1
-    z2_10_0 = mul(pow2k(z2_5_0, 5), z2_5_0)
-    z2_20_0 = mul(pow2k(z2_10_0, 10), z2_10_0)
-    z2_40_0 = mul(pow2k(z2_20_0, 20), z2_20_0)
-    z2_50_0 = mul(pow2k(z2_40_0, 10), z2_10_0)
-    z2_100_0 = mul(pow2k(z2_50_0, 50), z2_50_0)
-    z2_200_0 = mul(pow2k(z2_100_0, 100), z2_100_0)
-    z2_250_0 = mul(pow2k(z2_200_0, 50), z2_50_0)
+def _pow_chain_250(z, mul_op=None, sq_op=None, pow2k_op=None):
+    """z^(2^250 - 1), the shared prefix of the inversion / pow22523 chains.
+    The field ops are injectable so callers can run the chain through the
+    Pallas elementwise kernels (ops/pallas_point.py fmul/fsq) instead of
+    the inline XLA formulas."""
+    mul_ = mul_op or mul
+    sq_ = sq_op or sq
+    p2k = pow2k_op or pow2k
+    z2 = sq_(z)
+    z9 = mul_(p2k(z2, 2), z)
+    z11 = mul_(z9, z2)
+    z2_5_0 = mul_(sq_(z11), z9)  # 2^5 - 1
+    z2_10_0 = mul_(p2k(z2_5_0, 5), z2_5_0)
+    z2_20_0 = mul_(p2k(z2_10_0, 10), z2_10_0)
+    z2_40_0 = mul_(p2k(z2_20_0, 20), z2_20_0)
+    z2_50_0 = mul_(p2k(z2_40_0, 10), z2_10_0)
+    z2_100_0 = mul_(p2k(z2_50_0, 50), z2_50_0)
+    z2_200_0 = mul_(p2k(z2_100_0, 100), z2_100_0)
+    z2_250_0 = mul_(p2k(z2_200_0, 50), z2_50_0)
     return z2_250_0, z11
 
 
-def invert(a):
+def invert(a, mul_op=None, sq_op=None, pow2k_op=None):
     """a^(p-2); returns 0 for input 0."""
-    z2_250_0, z11 = _pow_chain_250(a)
-    return mul(pow2k(z2_250_0, 5), z11)  # 2^255 - 21 = p - 2
+    z2_250_0, z11 = _pow_chain_250(a, mul_op, sq_op, pow2k_op)
+    mul_ = mul_op or mul
+    p2k = pow2k_op or pow2k
+    return mul_(p2k(z2_250_0, 5), z11)  # 2^255 - 21 = p - 2
 
 
 def pow22523(a):

@@ -52,6 +52,12 @@ def _xorshift_limbs(indices: np.ndarray):
 
 @functools.partial(jax.jit)
 def _form_points(r0_limbs, r1_limbs) -> ed.PointP3:
+    from .ops import pallas_point as pp
+
+    if pp.use_pallas():
+        # whole elligator pair + add fused in one kernel: the ~500-mul sqrt
+        # chains stay in VMEM instead of round-tripping HBM per multiply
+        return pp.elligator_form(r0_limbs, r1_limbs)
     return ed.add(rst.elligator(r1_limbs), rst.elligator(r0_limbs))
 
 

@@ -127,17 +127,40 @@ def _build_table(points, window_width: int, curve=ed):
     return curve.make_point(*merged)
 
 
+def _fmul(a, b):
+    """Field multiply routed through the Pallas elementwise kernel on TPU
+    (one inline-XLA multiply materializes a 16x-operand-size outer product
+    in HBM — ruinous in the mul-heavy build/normalization code below)."""
+    from ..ops import pallas_point as pp
+
+    lanes = 1
+    for d in a.shape[1:]:
+        lanes *= int(d)
+    if pp.use_pallas() and a.shape == b.shape and lanes > 0:
+        return pp.fmul(a, b)
+    return F25519.mul(a, b)
+
+
+def _finvert(a):
+    """Batched field inversion; single fused kernel on TPU."""
+    from ..ops import pallas_point as pp
+
+    if not pp.use_pallas():
+        return F25519.invert(a)
+    return pp.finvert(a)
+
+
 def _batch_invert_lanes(z):
     """Montgomery-trick batch inversion along the LAST axis: one field
     inversion per leading-batch row + O(log V) full-width muls (the scans)."""
     axis = z.ndim - 1
-    prefix = lax.associative_scan(F25519.mul, z, axis=axis)
-    suffix = lax.associative_scan(F25519.mul, z, axis=axis, reverse=True)
-    total_inv = F25519.invert(prefix[..., -1:])
+    prefix = lax.associative_scan(_fmul, z, axis=axis)
+    suffix = lax.associative_scan(_fmul, z, axis=axis, reverse=True)
+    total_inv = _finvert(prefix[..., -1:])
     ones = F25519.from_int_const(1, z.shape[1:-1] + (1,))
     p_exc = jnp.concatenate([ones, prefix[..., :-1]], axis=-1)
     s_exc = jnp.concatenate([suffix[..., 1:], ones], axis=-1)
-    return F25519.mul(F25519.mul(p_exc, s_exc), total_inv)
+    return _fmul(_fmul(p_exc, s_exc), total_inv)
 
 
 def _ed_niels_split(table: "ed.PointP3"):
@@ -149,14 +172,32 @@ def _ed_niels_split(table: "ed.PointP3"):
     accumulation a 7-mul mixed add (curves/edwards25519.py,
     ops/pallas_point.py ed_lookup_msm)."""
     zinv = _batch_invert_lanes(table.z)
-    xa = F25519.mul(table.x, zinv)
-    ya = F25519.mul(table.y, zinv)
+    xa = _fmul(table.x, zinv)
+    ya = _fmul(table.y, zinv)
     a = F25519.add(ya, xa)
     b = F25519.sub(ya, xa)
-    t = F25519.mul_const(F25519.mul(xa, ya), ed.D2_INT)
+    d2 = F25519.from_int_const(ed.D2_INT, xa.shape[1:])
+    t = _fmul(_fmul(xa, ya), d2)
     full = jnp.concatenate(
         [jnp.moveaxis(c, 0, -2) for c in (a, b, t)], axis=-2
     )  # (.., 48, V)
+    dt = _table_dtype()
+    return jnp.concatenate(
+        [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
+        axis=-2,
+    )
+
+
+def _ed_cached_split(table: "ed.PointP3"):
+    """Extended table batch (.., V) -> byte-split CACHED storage
+    (.., 128, V): axis -2 is [y+x | y-x | z | 2d*t] x 16 limbs, low bytes
+    then high bytes. No inversion — two adds and a const-mul per entry —
+    so this is the form for streamed build-per-query tables
+    (curves/edwards25519.py Cached)."""
+    c = ed.to_cached(table)
+    full = jnp.concatenate(
+        [jnp.moveaxis(x, 0, -2) for x in (c.a, c.b, c.z, c.t)], axis=-2
+    )  # (.., 64, V)
     dt = _table_dtype()
     return jnp.concatenate(
         [(full & jnp.uint32(0xFF)).astype(dt), (full >> 8).astype(dt)],
@@ -178,12 +219,14 @@ def _w_split(table, curve):
     )
 
 
-def _split_any(table, curve):
-    return _ed_niels_split(table) if curve is ed else _w_split(table, curve)
+def _split_any(table, curve, form: str = "niels"):
+    if curve is not ed:
+        return _w_split(table, curve)
+    return _ed_cached_split(table) if form == "cached" else _ed_niels_split(table)
 
 
-@functools.partial(jax.jit, static_argnames=("window_width", "curve"))
-def _build_split_table(points, window_width: int, curve=ed):
+@functools.partial(jax.jit, static_argnames=("window_width", "curve", "form"))
+def _build_split_table(points, window_width: int, curve=ed, form: str = "niels"):
     """Like _build_table followed by the storage split, but chunked so the
     full uint32 point table is never materialized — each group chunk is built
     and immediately split. Returns a (nc, gc, 2L, V) tensor
@@ -217,7 +260,7 @@ def _build_split_table(points, window_width: int, curve=ed):
                     for tc, sc in zip(table, shifted)
                 )
             )
-        return _split_any(curve.make_point(*table), curve)
+        return _split_any(curve.make_point(*table), curve, form)
 
     gc = _table_chunk_groups(groups)
     nchunks = groups // gc
@@ -391,7 +434,7 @@ def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
         sel = sel2[..., :l_dim].astype(jnp.uint32) | (
             sel2[..., l_dim:].astype(jnp.uint32) << 8
         )
-        if curve is ed:
+        if curve is ed and l_dim == 3 * nlimbs:
             a, b, t = (
                 jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
                 for k in range(3)
@@ -406,6 +449,16 @@ def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
                 red = curve.tree_reduce(ed.niels_add(n1, n2), half)
             else:
                 red = curve.tree_reduce(ed.niels_to_p3(niels), gc)
+        elif curve is ed:  # cached (projective) form, l_dim == 4 * nlimbs
+            a, b, z, t = (
+                jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
+                for k in range(4)
+            )
+            pts = ed.cached_to_p3(ed.Cached(a, b, z, t))
+            if pp.use_pallas() and pp.tree_fits(curve, gc):
+                red = pp.tree_reduce_lanes(curve, pts, gc)
+            else:
+                red = curve.tree_reduce(pts, gc)
         else:
             coords = [
                 jnp.moveaxis(sel[..., k * nlimbs : (k + 1) * nlimbs], -1, 0)
@@ -491,16 +544,52 @@ def _query_jit(t_split, scalars_dev, window_width, num_outputs, nbits, curve):
     return _doubling_combine(products, nbits, curve)
 
 
-# points per streamed chunk (table slab = chunk * 2^w / w points). Kept at
-# BUILD_CHUNK_GROUPS * w so the inner table build needs no lax.map of its own
-# — nesting lax.map around the Pallas kernels was observed to crash the TPU
-# worker.
-STREAM_CHUNK_POINTS = BUILD_CHUNK_GROUPS * 8
+# points per streamed chunk (table slab = chunk * 32 niels entries, ~800MB
+# at 2^18). Large chunks amortize the host-side dispatch overhead of the
+# per-chunk jit call — the 1-core host is the bottleneck at small chunks.
+STREAM_CHUNK_POINTS = 1 << 18
 
 
 @functools.partial(
     jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
 )
+def _stream_chunk_jit(point_coords, scal, window_width, num_outputs, nbits, curve):
+    """One streamed chunk: build the chunk's partition table, query it,
+    return the (coords, nlimbs, R) partial products. Compiled once — every
+    chunk has the same shape."""
+    o, chunk_n, nbytes = scal.shape
+    # cached (projective) entries: the streamed build runs once per query,
+    # so the niels form's batch inversion would dominate; cached entries
+    # cost two adds to build and one extra mul per accumulation
+    form = "cached" if curve is ed else "niels"
+    t_split = _build_split_table(
+        curve.make_point(*point_coords), window_width, curve, form
+    )
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+    bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
+    rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1).reshape(
+        o * nbits, chunk_n
+    )
+    products = _partition_products(t_split, rows, window_width, curve)
+    return jnp.stack(list(products))  # (coords, nlimbs, R)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_outputs", "nbits", "curve")
+)
+def _stream_combine_jit(parts, num_outputs, nbits, curve):
+    """(nchunks, coords, nlimbs, R) partials -> (num_outputs,) points."""
+    nchunks = parts.shape[0]
+    total = curve.tree_reduce(
+        curve.make_point(
+            *(jnp.moveaxis(parts[:, k], 0, -1) for k in range(curve.coord_count))
+        ),
+        nchunks,
+    )
+    prods = curve.reshape_batch(total, (num_outputs, nbits))
+    return _doubling_combine(prods, nbits, curve)
+
+
 def _streaming_query_jit(
     point_coords, scalars_dev, window_width, num_outputs, nbits, curve
 ):
@@ -508,43 +597,29 @@ def _streaming_query_jit(
     partition table is built, queried, and discarded — memory stays bounded
     by the chunk slab regardless of n (the TPU shape of the reference's
     table-slice streaming, reference pippenger2/partition_product.h:128-135).
-    point_coords: list of (nlimbs, n) arrays; scalars_dev: (O, n, nbytes)."""
+    point_coords: list of (nlimbs, n) arrays; scalars_dev: (O, n, nbytes).
+
+    The chunk loop is HOST-driven: each chunk dispatches the same compiled
+    program asynchronously. Wrapping the Pallas lookup kernel in lax.map
+    hard-crashes the TPU worker, and a host loop pipelines just as well —
+    dispatch overhead is hidden behind the previous chunk's execution."""
     o, n, nbytes = scalars_dev.shape
     w = window_width
     chunk_n = min(STREAM_CHUNK_POINTS, n)
     while n % chunk_n:
         chunk_n //= 2
     nchunks = n // chunk_n
-
-    def chunk(args):
-        pts, scal = args
-        t_split = _build_split_table(curve.make_point(*pts), w, curve)
-        shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
-        bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
-        rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1).reshape(
-            o * nbits, chunk_n
+    scalars_dev = jnp.asarray(scalars_dev)
+    point_coords = [jnp.asarray(c) for c in point_coords]
+    parts = []
+    for ci in range(nchunks):
+        pts = [c[:, ci * chunk_n : (ci + 1) * chunk_n] for c in point_coords]
+        scal = scalars_dev[:, ci * chunk_n : (ci + 1) * chunk_n]
+        parts.append(
+            _stream_chunk_jit(pts, scal, w, num_outputs, nbits, curve)
         )
-        products = _partition_products(t_split, rows, w, curve)
-        return jnp.stack(list(products))  # (coords, nlimbs, R)
-
-    if nchunks == 1:
-        out = chunk((point_coords, scalars_dev))
-        total = curve.make_point(*out)
-    else:
-        chunked_pts = [
-            c.reshape(curve.nlimbs, nchunks, chunk_n).swapaxes(0, 1)
-            for c in point_coords
-        ]
-        chunked_scal = scalars_dev.reshape(o, nchunks, chunk_n, nbytes).swapaxes(0, 1)
-        parts = lax.map(chunk, (chunked_pts, chunked_scal))
-        total = curve.tree_reduce(
-            curve.make_point(
-                *(jnp.moveaxis(parts[:, k], 0, -1) for k in range(curve.coord_count))
-            ),
-            nchunks,
-        )
-    prods = curve.reshape_batch(total, (num_outputs, nbits))
-    return _doubling_combine(prods, nbits, curve)
+    stacked = parts[0][None] if nchunks == 1 else jnp.stack(parts)
+    return _stream_combine_jit(stacked, num_outputs, nbits, curve)
 
 
 def streaming_multiexponentiation(points, scalars, curve=ed, window_width=8):

@@ -105,6 +105,132 @@ def _tiles(c, m):
     return flat.reshape(F.NLIMBS, m, LANES)
 
 
+# ---------------------------------------------------------------------------
+# elementwise field-arithmetic kernels: one multiply inline in XLA
+# materializes a (16, 16, batch) outer product in HBM (~16x the operand
+# size per multiply), which makes mul-heavy host-path code — batch
+# inversions, the niels normalization, elligator chains — memory-bound.
+# The kernel runs the diagonal formulation entirely in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _fmul_body(a_ref, b_ref, o_ref):
+    with F.diag_mode():
+        o_ref[:] = F.mul(a_ref[:], b_ref[:])
+
+
+def _fsq_body(a_ref, o_ref):
+    with F.diag_mode():
+        o_ref[:] = F.sq(a_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _fmul_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        _fmul_body,
+        grid=(m // blk,),
+        in_specs=[spec] * 2,
+        out_specs=[spec],
+        out_shape=[jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(*coords)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _fsq_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        _fsq_body,
+        grid=(m // blk,),
+        in_specs=[spec],
+        out_specs=[spec],
+        out_shape=[jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(*coords)
+
+
+def fmul(a, b, interpret: bool = False):
+    """Field multiply (fp25519 limb arrays, equal shapes) via one kernel."""
+    return _run([a, b], _fmul_tiled, interpret)[0]
+
+
+def fsq(a, interpret: bool = False):
+    return _run([a], _fsq_tiled, interpret)[0]
+
+
+def _finvert_body(a_ref, o_ref):
+    with F.diag_mode():
+        o_ref[:] = F.invert(a_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _finvert_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        _finvert_body,
+        grid=(m // blk,),
+        in_specs=[spec],
+        out_specs=[spec],
+        out_shape=[jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(*coords)
+
+
+def finvert(a, interpret: bool = False):
+    """Whole ~270-mul inversion chain in ONE kernel — the chain has tiny
+    per-op compute, so issuing it as 254 separate kernels is pure dispatch
+    latency (measured seconds per batch-inversion on the tunnel host)."""
+    return _run([a], _finvert_tiled, interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# fused generator derivation: elligator(r1) + elligator(r0) in ONE kernel
+# (the canonical-generator map, generators.py). Each elligator is a
+# ~260-mul sqrt chain; inline XLA pays HBM for every intermediate, the
+# kernel keeps the whole chain in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _elligator_form_body(r0_ref, r1_ref, ox, oy, oz, ot):
+    from ..curves import edwards25519 as ed
+    from ..curves import ristretto as rst
+
+    with F.diag_mode():
+        p = rst.elligator(r1_ref[:])
+        q = rst.elligator(r0_ref[:])
+        r = ed._add_impl(p, q)
+    ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _elligator_form_tiled(coords, m: int, interpret: bool):
+    blk = min(M_BLK, m)
+    spec = pl.BlockSpec((F.NLIMBS, blk, LANES), lambda i: (0, i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((F.NLIMBS, m, LANES), jnp.uint32) for _ in range(4)
+    ]
+    return pl.pallas_call(
+        _elligator_form_body,
+        grid=(m // blk,),
+        in_specs=[spec] * 2,
+        out_specs=[spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*coords)
+
+
+def elligator_form(r0_limbs, r1_limbs, interpret: bool = False):
+    """(16, *batch) x2 -> PointP3: elligator(r1) + elligator(r0)."""
+    from ..curves import edwards25519 as ed
+
+    out = _run([r0_limbs, r1_limbs], _elligator_form_tiled, interpret)
+    return ed.PointP3(*out)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "interpret"))
 def _add_tiled(coords, m: int, interpret: bool):
     blk = min(M_BLK, m)
@@ -354,7 +480,10 @@ LOOKUP_RB = 256  # scalar-bit rows per block
 LOOKUP_GT = 16  # table groups per grid step (16 beat 32/64 on v5e: smaller tiles double-buffer better under the ~16MB VMEM)
 
 
-def _lookup_body_factory(gt: int, v_dim: int, rb: int):
+def _lookup_body_factory(gt: int, v_dim: int, rb: int, ncoord: int):
+    """ncoord = 3: niels table entries, 7-mul madd accumulation;
+    ncoord = 4: cached (projective) entries, 8-mul cadd accumulation."""
+
     def body(t_ref, idx_ref, ox, oy, oz, ot):
         from ..curves import edwards25519 as ed
 
@@ -370,8 +499,7 @@ def _lookup_body_factory(gt: int, v_dim: int, rb: int):
         nl = F.NLIMBS
         # Mosaic has no f32->u32 cast; round-trip through i32 (values < 256)
         si = st.astype(jnp.int32).astype(jnp.uint32)
-        u = si[: 3 * nl] | (si[3 * nl :] << 8)  # (48, GT, RB)
-        n = ed.Niels(u[0:nl], u[nl : 2 * nl], u[2 * nl : 3 * nl])
+        u = si[: ncoord * nl] | (si[ncoord * nl :] << 8)  # (ncoord*16, GT, RB)
 
         with F.diag_mode():
 
@@ -386,7 +514,14 @@ def _lookup_body_factory(gt: int, v_dim: int, rb: int):
                 ox[:], oy[:], oz[:], ot[:] = zero, one, one, zero
 
             acc = ed.PointP3(ox[:], oy[:], oz[:], ot[:])
-            r = ed._madd_impl(acc, n)
+            if ncoord == 3:
+                n = ed.Niels(u[0:nl], u[nl : 2 * nl], u[2 * nl : 3 * nl])
+                r = ed._madd_impl(acc, n)
+            else:
+                c = ed.Cached(
+                    u[0:nl], u[nl : 2 * nl], u[2 * nl : 3 * nl], u[3 * nl :]
+                )
+                r = ed._cadd_impl(acc, c)
         ox[:], oy[:], oz[:], ot[:] = r.x, r.y, r.z, r.t
 
     return body
@@ -403,7 +538,7 @@ def _lookup_tiled(t_flat, idx, rb: int, interpret: bool):
         jax.ShapeDtypeStruct((nl, gt, r), jnp.uint32) for _ in range(4)
     ]
     return pl.pallas_call(
-        _lookup_body_factory(gt, v_dim, rb),
+        _lookup_body_factory(gt, v_dim, rb, l2 // (2 * F.NLIMBS)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gt, l2, v_dim), lambda ri, gi: (gi, 0, 0)),

@@ -134,3 +134,29 @@ def test_ed_lookup_msm_interpret():
                 if v >> j & 1:
                     acc = R.pt_add(acc, pts[g * w + j])
         assert bytes(got_bytes[r]) == R.ristretto_encode(acc), f"row {r}"
+
+
+def test_field_mul_sq_kernels_interpret(points):
+    from blitzar_tpu.fields import fp25519 as F
+
+    a, b = points.x[:, :100], points.y[:, :100]
+    assert (np.asarray(pp.fmul(a, b, interpret=True)) == np.asarray(F.mul(a, b))).all()
+    assert (np.asarray(pp.fsq(a, interpret=True)) == np.asarray(F.sq(a))).all()
+
+
+def test_elligator_form_kernel_interpret():
+    """Fused elligator-pair kernel vs the plain formulas and the canonical
+    generator bytes."""
+    from blitzar_tpu import generators as g
+    from blitzar_tpu.curves import ristretto as rst
+    from blitzar_tpu.refimpl import core as R
+
+    idx = np.arange(8, dtype=np.uint64)
+    r0, r1 = g._xorshift_limbs(idx)
+    import jax.numpy as jnp
+
+    got = pp.elligator_form(jnp.asarray(r0), jnp.asarray(r1), interpret=True)
+    got_bytes = np.asarray(rst.encode(got)).T
+    for i in range(8):
+        exp = R.ristretto_encode(R.compute_base_element(i))
+        assert bytes(got_bytes[i]) == exp, f"generator {i}"
