@@ -64,6 +64,16 @@ def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
     return np.array([(x >> i) & 1 for i in range(nbits)], dtype=np.uint32)
 
 
+def _mont_from_ints(ints, length: int):
+    """Python ints -> (nlimbs, length) Montgomery array, zero-padded.
+    Byte rows are built on the host and converted on device — S.from_ints'
+    per-value python loop is minutes at n = 2^20."""
+    rows = np.zeros((length, 32), np.uint8)
+    for i, v in enumerate(ints):
+        rows[i] = np.frombuffer(int(v).to_bytes(32, "little"), np.uint8)
+    return S.from_bytes_le(jnp.asarray(rows.T))
+
+
 # ---------------------------------------------------------------------------
 # jitted round kernels (static over np, so each fold size compiles once and
 # the program is reused across proofs)
@@ -71,45 +81,72 @@ def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("mid",))
-def _commit_to_fold(a, b, gens_plus_q: ed.PointP3, mid: int):
-    """One fused 2-output MSM computing L and R.
-
-    a, b: (nlimbs, 2*mid) Montgomery scalars; gens_plus_q: (2*mid + 1,) points
-    [G | Q]. Output 0 scalars put a_lo against G_hi and cL against Q; output 1
-    puts a_hi against G_lo and cR against Q (reference gpu_driver.cc:49-65).
-    Runs through the sort-free partition-table engine (msm/fixed.py) — the
-    per-round tables over the folded generators are built on the fly.
-    Returns (2, 32) uint8 compressed [L, R].
-    """
-    from ..msm import fixed as _fixed
-
-    w = 4
-    np_ = 2 * mid
+def _commit_scalars(a, b, mid: int):
+    """Scalar prep for one round's L/R: returns the (2, np_, 32) byte
+    scalars for the G-part MSM (output 0 = [0 | a_lo], output 1 =
+    [a_hi | 0]) and the (2, 1, 32) byte scalars [cL; cR] for Q."""
     a_lo, a_hi = a[:, :mid], a[:, mid:]
     b_lo, b_hi = b[:, :mid], b[:, mid:]
     c_l = S.inner_product(a_lo, b_hi, mid)[..., None]
     c_r = S.inner_product(a_hi, b_lo, mid)[..., None]
     zeros = S.zeros((mid,))
-    s0 = jnp.concatenate([zeros, a_lo, c_l], axis=-1)
-    s1 = jnp.concatenate([a_hi, zeros, c_r], axis=-1)
-    scal_bytes = jnp.stack(
-        [S.to_bytes_le(s0).T, S.to_bytes_le(s1).T]
-    )  # (2, np_+1, 32) uint8
-    n_pts = np_ + 1
-    n_pad = -(-n_pts // w) * w
-    if n_pad > n_pts:
-        pad_pt = ed.identity((n_pad - n_pts,))
-        gens_plus_q = ed.PointP3(
-            *(
-                jnp.concatenate([gc, pc], axis=-1)
-                for gc, pc in zip(gens_plus_q, pad_pt)
-            )
+    s0 = jnp.concatenate([zeros, a_lo], axis=-1)
+    s1 = jnp.concatenate([a_hi, zeros], axis=-1)
+    g_bytes = jnp.stack([S.to_bytes_le(s0).T, S.to_bytes_le(s1).T])
+    q_bytes = jnp.stack([S.to_bytes_le(c_l).T, S.to_bytes_le(c_r).T])
+    return g_bytes, q_bytes
+
+
+@jax.jit
+def _add_encode(p: ed.PointP3, q: ed.PointP3):
+    return rst.encode(ed.add(p, q)).T  # (2, 32)
+
+
+@functools.partial(jax.jit, static_argnames=("mid",))
+def _small_g_msm(g: ed.PointP3, g_bytes, mid: int):
+    """Small-round G-part MSM: in-jit w=4 table build + query."""
+    from ..msm import fixed as _fixed
+
+    w = 4
+    np_ = 2 * mid
+    n_pad = max(-(-np_ // w) * w, w)
+    if n_pad > np_:
+        pad_pt = ed.identity((n_pad - np_,))
+        g = ed.PointP3(
+            *(jnp.concatenate([gc, pc], axis=-1) for gc, pc in zip(g, pad_pt))
         )
-        scal_bytes = jnp.pad(scal_bytes, ((0, 0), (0, n_pad - n_pts), (0, 0)))
-    table = _fixed._build_table(gens_plus_q, w, ed)
+        g_bytes = jnp.pad(g_bytes, ((0, 0), (0, n_pad - np_), (0, 0)))
+    table = _fixed._build_table(g, w, ed)
     t_split = _fixed._split_table_jit(table, ed)
-    out = _fixed._query_jit(t_split, scal_bytes, w, 2, 256, ed)
-    return rst.encode(out).T  # (2, 32)
+    return _fixed._query_jit(t_split, g_bytes, w, 2, 256, ed)
+
+
+# above this size the G-part MSM streams build+query per chunk so the
+# largest rounds never hold a full table in HBM (2^19-point rounds OOM'd
+# the in-jit build)
+_STREAM_COMMIT_MIN = 8192
+
+
+def _commit_to_fold(a, b, g: ed.PointP3, q_handle, mid: int):
+    """L and R for one round (reference gpu_driver.cc:49-65):
+    L = <a_lo, G_hi> + cL*Q, R = <a_hi, G_lo> + cR*Q.
+
+    The G-part of large rounds runs through the memory-bounded streamed
+    build+query MSM (msm/fixed.py); the two cQ terms query a tiny fixed
+    handle built once per proof. Returns (2, 32) uint8 [L, R]."""
+    from ..msm import fixed as _fixed
+
+    g_bytes, q_bytes = _commit_scalars(a, b, mid)
+    if 2 * mid >= _STREAM_COMMIT_MIN:
+        part = _fixed._streaming_query_jit(list(g), g_bytes, 8, 2, 256, ed)
+    else:
+        part = _small_g_msm(g, g_bytes, mid)
+    n_table = q_handle.num_groups * q_handle.window_width
+    q_bytes = jnp.pad(q_bytes, ((0, 0), (0, n_table - 1), (0, 0)))
+    qpart = _fixed._query_jit(
+        q_handle.t_split, q_bytes, q_handle.window_width, 2, 256, ed
+    )
+    return _add_encode(part, qpart)
 
 
 @functools.partial(jax.jit, static_argnames=("mid",))
@@ -199,19 +236,19 @@ def prove_inner_product(
             a_ints[0],
         )
 
-    a = S.from_ints(a_ints + [0] * (np_ - n))
-    b = S.from_ints(b_ints + [0] * (np_ - n))
-    gens = ed.PointP3(
-        *(jnp.concatenate([gc, qc], axis=-1) for gc, qc in zip(g_vector, q_value))
-    )
+    from ..msm import fixed as _fixed
+
+    a = _mont_from_ints(a_ints, np_)
+    b = _mont_from_ints(b_ints, np_)
     g = g_vector
+    q_handle = _fixed.MultiexpHandle(q_value, window_width=4, n=1)
 
     l_out = np.zeros((num_rounds, 32), np.uint8)
     r_out = np.zeros((num_rounds, 32), np.uint8)
     cur = np_
     for round_index in range(num_rounds):
         mid = cur // 2
-        lr = np.asarray(_commit_to_fold(a, b, gens, mid))
+        lr = np.asarray(_commit_to_fold(a, b, g, q_handle, mid))
         l_out[round_index] = lr[0]
         r_out[round_index] = lr[1]
         x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
@@ -225,9 +262,6 @@ def prove_inner_product(
             jnp.asarray(_scalar_bits_le(x)),
             jnp.asarray(_scalar_bits_le(xinv)),
             mid,
-        )
-        gens = ed.PointP3(
-            *(jnp.concatenate([gc, qc], axis=-1) for gc, qc in zip(g, q_value))
         )
         cur = mid
 
@@ -298,7 +332,7 @@ def verify_inner_product(
             (-pow(x * x % ORDER, -1, ORDER)) % ORDER for x in x_vec
         ]
 
-    b_arr = S.from_ints(b_ints)
+    b_arr = _mont_from_ints(b_ints, n)
     prod_check = S.to_ints(
         S.inner_product(g_exp_arr[:, :n], b_arr, n)[..., None]
     )[0]
