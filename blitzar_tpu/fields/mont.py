@@ -92,6 +92,13 @@ class MontField:
         return jnp.zeros((self.nlimbs,) + tuple(batch_shape), dtype=jnp.uint32)
 
     def one(self, batch_shape=()):
+        if _DIAG[-1]:
+            # Pallas kernel bodies reject captured device arrays; inline the
+            # Montgomery-one limbs as scalar immediates (fp25519 pattern)
+            limbs = [(self.r >> (16 * i)) & 0xFFFF for i in range(self.nlimbs)]
+            return jnp.stack(
+                [jnp.full(tuple(batch_shape), l, jnp.uint32) for l in limbs]
+            )
         c = self._const(self.r, len(batch_shape))
         return jnp.broadcast_to(c, (self.nlimbs,) + tuple(batch_shape))
 
@@ -311,6 +318,15 @@ class MontField:
 
     def is_zero(self, a):
         return jnp.all(a == 0, axis=0)
+
+    def gt_const_std(self, a, value: int):
+        """Standard-form comparison from_mont(a) > value, batched bool
+        (used for the 'lexicographically largest y' compression flag,
+        reference field12 lexicographically_largest property)."""
+        std = self.from_mont(a)
+        rows = [std[i] for i in range(self.nlimbs)]
+        _, borrow = self._sub_borrow(rows, self._int_limbs(value + 1))
+        return borrow == 0
 
     def eq(self, a, b):
         return jnp.all(a == b, axis=0)

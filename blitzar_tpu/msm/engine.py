@@ -253,6 +253,17 @@ _HANDLE_CACHE: list = []
 _HANDLE_CACHE_SLOTS = 4
 
 
+# ceiling for the fused single-dispatch small-n path (reference
+# bucket_method2 caps at 128*32 = 4096, bucket_method2/constants.h:23)
+SMALL_N_MAX = 4096
+
+
+def _handle_cached(points, n, curve) -> bool:
+    return any(
+        e[0] is points.x and e[1] == n and e[2] is curve for e in _HANDLE_CACHE
+    )
+
+
 def _cached_handle(points, n, curve, _fixed):
     for entry in _HANDLE_CACHE:
         cached_x, cached_n, cached_curve, handle = entry
@@ -276,26 +287,58 @@ def msm(points, data_list, nbytes_list, signed_list, curve=ed):
 
     Engine selection (the reference picks bucket_method2 / bucket_method /
     pippenger v1 by problem shape, multiexponentiation.h:147-200; we pick by
-    what maps to TPU): unsigned sequences use the sort-free partition-table
-    path (XLA's sort is ~100x off roofline on TPU, so the bucket engine's
-    sort+segment formulation loses to subset-sum tables built on the fly);
-    signed sequences need per-(output, point) negation, which shared tables
-    cannot express, so they take the bucket path.
+    what maps to TPU): every shape uses the sort-free partition-table path
+    (XLA's sort is ~100x off roofline on TPU, so the bucket engine's
+    sort+segment formulation loses to subset-sum tables built on the fly).
+    Signed sequences stay on it too: per-element signs become positive and
+    negative bit-row masks against the same table, result = Q_pos - Q_neg
+    (reference handles signs with a sign bit on the gather index + cneg,
+    multiexp/curve/multiproduct.h:32-58). The sort-based bucket engine
+    remains available via BLITZAR_TPU_MSM_ENGINE=bucket (it is also the
+    base of the sharded driver, msm/sharded.py).
     """
     scalars, signs, n = prepare_scalars(data_list, nbytes_list, signed_list)
     num_outputs, _, max_nbytes = scalars.shape
     if n == 0 or num_outputs == 0:
         return curve.identity((max(num_outputs, 0),))
-    if not any(signed_list):
+    import os as _os
+
+    force_bucket = _os.environ.get("BLITZAR_TPU_MSM_ENGINE") == "bucket"
+    if not force_bucket:
         from . import fixed as _fixed
 
+        any_signed = any(signed_list)
         if points.x.shape[-1] > n:
             points = curve.index_batch(points, (slice(0, n),))
         if n > (1 << 20):
             # beyond 2^20 a persistent w=8 table outgrows HBM; stream
             # build+query per generator chunk instead
-            return _fixed.streaming_multiexponentiation(points, scalars, curve)
+            return _fixed.streaming_multiexponentiation(
+                points, scalars, curve, signs=signs if any_signed else None
+            )
+        if n <= SMALL_N_MAX and not _handle_cached(points, n, curve):
+            # small-n low-latency path (reference keeps a dedicated engine
+            # for 256 <= n <= 4096, bucket_method2/multiexponentiation.h:
+            # 87-121): a fresh small generator set takes ONE fused
+            # build+query dispatch (cached-form tables, no inversion, no
+            # persistent handle) instead of paying a w=8 table build.
+            # n pads to a power of two to bound shape-specialized compiles.
+            n_pad = 8
+            while n_pad < n:
+                n_pad *= 2
+            if scalars.shape[1] < n_pad:
+                scalars = np.pad(
+                    scalars, ((0, 0), (0, n_pad - scalars.shape[1]), (0, 0))
+                )
+                if any_signed:
+                    signs = np.pad(signs, ((0, 0), (0, n_pad - signs.shape[1])))
+            return _fixed.streaming_multiexponentiation(
+                points, scalars[:, :n_pad], curve,
+                signs=signs[:, :n_pad] if any_signed else None,
+            )
         handle = _cached_handle(points, n, curve, _fixed)
+        if any_signed:
+            return _fixed.fixed_multiexponentiation_signed(handle, scalars, signs)
         return _fixed.fixed_multiexponentiation(handle, scalars)
     # pad n to the next power of two (>= 8) to bound shape-specialized
     # recompiles; zero digits land in the excluded bucket 0

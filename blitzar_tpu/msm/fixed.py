@@ -225,14 +225,36 @@ def _split_any(table, curve, form: str = "niels"):
     return _ed_cached_split(table) if form == "cached" else _ed_niels_split(table)
 
 
-@functools.partial(jax.jit, static_argnames=("window_width", "curve", "form"))
 def _build_split_table(points, window_width: int, curve=ed, form: str = "niels"):
-    """Like _build_table followed by the storage split, but chunked so the
-    full uint32 point table is never materialized — each group chunk is built
-    and immediately split. Returns a (nc, gc, 2L, V) tensor
+    """Build the byte-split partition table, returned as (nc, gc, 2L, V)
     (L = 48 niels values for ed, coord_count*nlimbs for Weierstrass),
     pre-chunked on the leading axis (queries lax.map over it with zero-copy
-    slicing). This is what lets w=8 tables fit HBM at n = 2^20."""
+    slicing).
+
+    Fast path (TPU): ONE fused Pallas kernel (ops/pallas_point.py
+    build_split_table) — subset-doubling, niels batch inversion, and the
+    byte split all happen per group tile in VMEM; the uint32 point table
+    never exists. This is what makes sxt_multiexp_handle_new deployable
+    (the round-1 lax.map-of-chunks build measured 558 s at 2^20/w=8).
+
+    Fallback (CPU / odd shapes): the chunked XLA build below."""
+    from ..ops import pallas_point as pp
+
+    n = points.x.shape[-1]
+    groups = n // window_width
+    if pp.use_pallas() and pp.build_split_fits(groups, window_width):
+        split = pp.build_split_table(
+            points, window_width, curve, form, _table_dtype()
+        )  # (G, 2L, V)
+        gc = _table_chunk_groups(groups)
+        return split.reshape(groups // gc, gc, split.shape[-2], split.shape[-1])
+    return _build_split_table_xla(points, window_width, curve, form)
+
+
+@functools.partial(jax.jit, static_argnames=("window_width", "curve", "form"))
+def _build_split_table_xla(points, window_width: int, curve=ed, form: str = "niels"):
+    """Chunked XLA build (each group chunk built then immediately split, so
+    the full uint32 point table is never materialized)."""
     n = points.x.shape[-1]
     groups = n // window_width
     pts = curve.reshape_batch(points, (groups, window_width))
@@ -413,6 +435,12 @@ def _partition_products(t_split, bit_rows, window_width: int, curve=ed):
 
     if curve is ed and pp.use_pallas() and pp.lookup_msm_fits(groups, v, r_rows):
         return pp.ed_lookup_msm(t_split.reshape(groups, l2, v), idx)
+    if (
+        curve is not ed
+        and pp.use_pallas()
+        and pp.w_lookup_msm_fits(groups, v, r_rows)
+    ):
+        return pp.w_lookup_msm(curve, t_split.reshape(groups, l2, v), idx)
 
     rb = max(1, ONEHOT_BUDGET_BYTES // (gc * v * 2))
     rb = min(rb, r_rows)
@@ -544,6 +572,64 @@ def _query_jit(t_split, scalars_dev, window_width, num_outputs, nbits, curve):
     return _doubling_combine(products, nbits, curve)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
+)
+def _query_signed_jit(
+    t_split, scalars_dev, signs_dev, window_width, num_outputs, nbits, curve
+):
+    """Signed fixed-MSM query: per-element signs expressed IN the partition
+    engine — positive and negative bit-row masks against the same table,
+    result = Q_pos - Q_neg (two row blocks, one table pass). This keeps
+    Proof-of-SQL-shaped signed workloads on the fast path instead of the
+    sort-based bucket engine (reference handles signs with a sign bit on the
+    gather index + cneg, multiexp/curve/multiproduct.h:32-58).
+
+    scalars_dev: (O, n, nbytes) uint8 MAGNITUDES; signs_dev: (O, n) uint8,
+    1 = negate that element's contribution."""
+    o, n_table, nbytes = scalars_dev.shape
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+    bits = (scalars_dev[:, :, :, None] >> shifts) & jnp.uint8(1)  # (O,n,nb,8)
+    rows = bits.reshape(o, n_table, nbits).transpose(0, 2, 1)  # (O, nbits, n)
+    neg = (signs_dev == 1)[:, None, :]  # (O, 1, n)
+    rows_pos = jnp.where(neg, jnp.uint8(0), rows)
+    rows_neg = jnp.where(neg, rows, jnp.uint8(0))
+    all_rows = jnp.concatenate([rows_pos, rows_neg]).reshape(
+        2 * o * nbits, n_table
+    )
+    products = _partition_products(t_split, all_rows, window_width, curve)
+    p_pos = curve.reshape_batch(
+        curve.index_batch(products, (slice(0, o * nbits),)), (o, nbits)
+    )
+    p_neg = curve.reshape_batch(
+        curve.index_batch(products, (slice(o * nbits, 2 * o * nbits),)), (o, nbits)
+    )
+    q_pos = _doubling_combine(p_pos, nbits, curve)
+    q_neg = _doubling_combine(p_neg, nbits, curve)
+    return curve.add(q_pos, curve.neg(q_neg))
+
+
+def fixed_multiexponentiation_signed(
+    handle: MultiexpHandle, scalars, signs
+) -> "ed.PointP3":
+    """scalars: (O, n, nbytes) uint8 magnitudes; signs: (O, n) uint8."""
+    curve = handle.curve
+    scalars = np.asarray(scalars, np.uint8)
+    signs = np.asarray(signs, np.uint8)
+    num_outputs, n, nbytes = scalars.shape
+    assert n <= handle.n
+    if num_outputs == 0:
+        return curve.identity((0,))
+    n_table = handle.num_groups * handle.window_width
+    if n < n_table:
+        scalars = np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
+        signs = np.pad(signs, ((0, 0), (0, n_table - n)))
+    return _query_signed_jit(
+        handle.t_split, jnp.asarray(scalars), jnp.asarray(signs),
+        handle.window_width, num_outputs, 8 * nbytes, curve,
+    )
+
+
 # points per streamed chunk (table slab = chunk * 32 niels entries, ~800MB
 # at 2^18). Large chunks amortize the host-side dispatch overhead of the
 # per-chunk jit call — the 1-core host is the bottleneck at small chunks.
@@ -551,12 +637,17 @@ STREAM_CHUNK_POINTS = 1 << 18
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window_width", "num_outputs", "nbits", "curve")
+    jax.jit,
+    static_argnames=("window_width", "num_outputs", "nbits", "curve", "signed"),
 )
-def _stream_chunk_jit(point_coords, scal, window_width, num_outputs, nbits, curve):
+def _stream_chunk_jit(
+    point_coords, scal, signs, window_width, num_outputs, nbits, curve,
+    signed=False,
+):
     """One streamed chunk: build the chunk's partition table, query it,
-    return the (coords, nlimbs, R) partial products. Compiled once — every
-    chunk has the same shape."""
+    return the (coords, nlimbs, R) partial products (R doubles when signed:
+    positive rows then negative rows). Compiled once — every chunk has the
+    same shape."""
     o, chunk_n, nbytes = scal.shape
     # cached (projective) entries: the streamed build runs once per query,
     # so the niels form's batch inversion would dominate; cached entries
@@ -567,17 +658,24 @@ def _stream_chunk_jit(point_coords, scal, window_width, num_outputs, nbits, curv
     )
     shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
     bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
-    rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1).reshape(
-        o * nbits, chunk_n
-    )
+    rows = bits.reshape(o, chunk_n, nbits).transpose(0, 2, 1)  # (O, nbits, n)
+    if signed:
+        neg = (signs == 1)[:, None, :]
+        rows = jnp.concatenate(
+            [
+                jnp.where(neg, jnp.uint8(0), rows),
+                jnp.where(neg, rows, jnp.uint8(0)),
+            ]
+        )  # (2*O, nbits, n)
+    rows = rows.reshape(-1, chunk_n)
     products = _partition_products(t_split, rows, window_width, curve)
     return jnp.stack(list(products))  # (coords, nlimbs, R)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_outputs", "nbits", "curve")
+    jax.jit, static_argnames=("num_outputs", "nbits", "curve", "signed")
 )
-def _stream_combine_jit(parts, num_outputs, nbits, curve):
+def _stream_combine_jit(parts, num_outputs, nbits, curve, signed=False):
     """(nchunks, coords, nlimbs, R) partials -> (num_outputs,) points."""
     nchunks = parts.shape[0]
     total = curve.tree_reduce(
@@ -586,12 +684,28 @@ def _stream_combine_jit(parts, num_outputs, nbits, curve):
         ),
         nchunks,
     )
+    if signed:
+        p_pos = curve.reshape_batch(
+            curve.index_batch(total, (slice(0, num_outputs * nbits),)),
+            (num_outputs, nbits),
+        )
+        p_neg = curve.reshape_batch(
+            curve.index_batch(
+                total, (slice(num_outputs * nbits, 2 * num_outputs * nbits),)
+            ),
+            (num_outputs, nbits),
+        )
+        return curve.add(
+            _doubling_combine(p_pos, nbits, curve),
+            curve.neg(_doubling_combine(p_neg, nbits, curve)),
+        )
     prods = curve.reshape_batch(total, (num_outputs, nbits))
     return _doubling_combine(prods, nbits, curve)
 
 
 def _streaming_query_jit(
-    point_coords, scalars_dev, window_width, num_outputs, nbits, curve
+    point_coords, scalars_dev, signs_dev, window_width, num_outputs, nbits,
+    curve, signed=False,
 ):
     """Fused build+query streamed over generator chunks: each chunk's
     partition table is built, queried, and discarded — memory stays bounded
@@ -613,22 +727,34 @@ def _streaming_query_jit(
     point_coords = [jnp.asarray(c) for c in point_coords]
     parts = []
     for ci in range(nchunks):
-        pts = [c[:, ci * chunk_n : (ci + 1) * chunk_n] for c in point_coords]
-        scal = scalars_dev[:, ci * chunk_n : (ci + 1) * chunk_n]
+        sl = slice(ci * chunk_n, (ci + 1) * chunk_n)
+        pts = [c[:, sl] for c in point_coords]
+        scal = scalars_dev[:, sl]
+        sg = signs_dev[:, sl] if signed else jnp.zeros((o, chunk_n), jnp.uint8)
         parts.append(
-            _stream_chunk_jit(pts, scal, w, num_outputs, nbits, curve)
+            _stream_chunk_jit(
+                pts, scal, sg, w, num_outputs, nbits, curve, signed
+            )
         )
     stacked = parts[0][None] if nchunks == 1 else jnp.stack(parts)
-    return _stream_combine_jit(stacked, num_outputs, nbits, curve)
+    return _stream_combine_jit(stacked, num_outputs, nbits, curve, signed)
 
 
-def streaming_multiexponentiation(points, scalars, curve=ed, window_width=8):
-    """Dynamic MSM for very large n: scalars (O, n, nbytes) uint8 unsigned;
-    points (>= n,). No persistent table — build+query streamed per chunk."""
+def streaming_multiexponentiation(
+    points, scalars, curve=ed, window_width=8, signs=None
+):
+    """Dynamic MSM for very large n: scalars (O, n, nbytes) uint8 magnitudes
+    (with optional per-element signs (O, n), 1 = negate); points (>= n,).
+    No persistent table — build+query streamed per chunk."""
     scalars = np.asarray(scalars, np.uint8)
     num_outputs, n, nbytes = scalars.shape
     w = window_width
     n_pad = -(-n // w) * w
+    signed = signs is not None
+    if signed:
+        signs = np.asarray(signs, np.uint8)
+        if signs.shape[1] < n_pad:
+            signs = np.pad(signs, ((0, 0), (0, n_pad - signs.shape[1])))
     if scalars.shape[1] < n_pad:
         scalars = np.pad(scalars, ((0, 0), (0, n_pad - n), (0, 0)))
     npts = points.x.shape[-1]
@@ -640,7 +766,14 @@ def streaming_multiexponentiation(points, scalars, curve=ed, window_width=8):
     elif npts > n_pad:
         points = curve.index_batch(points, (slice(0, n_pad),))
     return _streaming_query_jit(
-        list(points), jnp.asarray(scalars), w, num_outputs, 8 * nbytes, curve
+        list(points),
+        jnp.asarray(scalars),
+        jnp.asarray(signs) if signed else None,
+        w,
+        num_outputs,
+        8 * nbytes,
+        curve,
+        signed,
     )
 
 

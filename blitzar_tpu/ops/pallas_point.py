@@ -582,6 +582,254 @@ def ed_lookup_msm(t_flat, idx, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# curve-generic fused lookup + accumulate (Weierstrass variant of
+# ed_lookup_msm above): same streaming-tile structure, but table entries are
+# byte-split projective (x, y, z) coords in Montgomery form and accumulation
+# is the complete RCB a=0 add (curves/weierstrass.py _add_impl) in the
+# MontField's diag mode. This puts bls12-381/bn254/grumpkin fixed-MSM queries
+# on the MXU path instead of the ~50x-slower one-hot einsum fallback
+# (reference's partition-product kernel is curve-generic,
+# pippenger2/partition_product.h:47-92).
+# ---------------------------------------------------------------------------
+
+W_LOOKUP_RB = 256  # scalar-bit rows per block
+W_LOOKUP_GT = 8  # table groups per grid step (24-limb bls tiles are 1.5x
+# an ed niels tile per group; 8 keeps the working set double-bufferable)
+
+
+def _w_lookup_body_factory(curve, gt: int, v_dim: int, rb: int):
+    from ..fields import mont as _mont
+
+    nl = curve.nlimbs
+
+    def body(t_ref, idx_ref, ox, oy, oz):
+        g_step = pl.program_id(1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (v_dim, rb), 0)
+        sels = []
+        for j in range(gt):
+            onehot_t = (idx_ref[j, :][None, :] == iota).astype(t_ref.dtype)
+            sels.append(
+                jnp.dot(t_ref[j], onehot_t, preferred_element_type=jnp.float32)
+            )  # (2L, RB)
+        st = jnp.stack(sels, axis=1)  # (2L, GT, RB)
+        si = st.astype(jnp.int32).astype(jnp.uint32)
+        u = si[: 3 * nl] | (si[3 * nl :] << 8)  # (3*nl, GT, RB)
+
+        with _mont.diag_mode():
+
+            @pl.when(g_step == 0)
+            def _init():
+                ident = curve.identity((gt, rb))
+                ox[:], oy[:], oz[:] = ident.x, ident.y, ident.z
+
+            acc = curve.make_point(ox[:], oy[:], oz[:])
+            sel = curve.make_point(u[0:nl], u[nl : 2 * nl], u[2 * nl :])
+            r = curve._add_impl(acc, sel)
+        ox[:], oy[:], oz[:] = r.x, r.y, r.z
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "rb", "interpret"))
+def _w_lookup_tiled(curve, t_flat, idx, rb: int, interpret: bool):
+    groups, l2, v_dim = t_flat.shape
+    r = idx.shape[1]
+    gt = W_LOOKUP_GT
+    nl = curve.nlimbs
+    grid = (r // rb, groups // gt)
+    out_shape = [
+        jax.ShapeDtypeStruct((nl, gt, r), jnp.uint32) for _ in range(3)
+    ]
+    return pl.pallas_call(
+        _w_lookup_body_factory(curve, gt, v_dim, rb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gt, l2, v_dim), lambda ri, gi: (gi, 0, 0)),
+            pl.BlockSpec((gt, rb), lambda ri, gi: (gi, ri)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nl, gt, rb), lambda ri, gi: (0, 0, ri))
+        ] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(t_flat, idx)
+
+
+def w_lookup_msm_fits(groups: int, v_dim: int, r_rows: int) -> bool:
+    return (
+        v_dim == 256
+        and groups >= W_LOOKUP_GT
+        and groups % W_LOOKUP_GT == 0
+        and r_rows >= 128
+    )
+
+
+def w_lookup_msm(curve, t_flat, idx, interpret: bool = False):
+    """t_flat: (G, 6*nlimbs, 256) byte-split projective table; idx: (R, G)
+    int32 table indices -> (R,) projective points: sum_g table[g, idx[r, g]]."""
+    r_rows, groups = idx.shape
+    rb = min(W_LOOKUP_RB, max(8, -(-r_rows // 8) * 8))
+    r_pad = -(-r_rows // rb) * rb
+    if r_pad != r_rows:
+        idx = jnp.pad(idx, ((0, r_pad - r_rows), (0, 0)))  # entry 0 = identity
+    out = _w_lookup_tiled(curve, t_flat, idx.T, rb, interpret)
+    pt = curve.make_point(*(jnp.swapaxes(c, 1, 2) for c in out))  # (nl, r_pad, GT)
+    total = curve.tree_reduce(pt, W_LOOKUP_GT)  # (r_pad,)
+    return curve.index_batch(total, (slice(0, r_rows),))
+
+
+# ---------------------------------------------------------------------------
+# fused partition-table BUILD kernel: the whole handle/streamed-chunk table
+# build is ONE pallas_call. Each grid step takes BUILD_BG groups of w
+# generators, runs the w subset-doubling concats (table_{j+1} =
+# [table_j | table_j + G_j]) entirely in VMEM, converts to the storage form
+# (niels via an in-kernel log-depth batch inversion, cached via two adds +
+# const-mul, Weierstrass projective as-is), byte-splits, and writes the
+# (BG, 2L, V) tile. Replaces a lax.map of hundreds of small XLA/Pallas
+# dispatches per chunk (adds, associative scans, inversions) whose dispatch
+# + HBM round trips made sxt_multiexp_handle_new cost ~4600x its own query
+# (reference builds tables inline with deployment workflows,
+# pippenger2/partition_table.h:36-98).
+# ---------------------------------------------------------------------------
+
+BUILD_BG = 8  # generator groups per grid step
+
+
+def _lane_batch_invert(z, v_dim: int, field):
+    """1/z along the last axis of a (nl, bg, V) VMEM value: log-depth
+    Hillis-Steele prefix/suffix product scans + ONE v-lane-narrow inversion
+    chain — ~(2 log2 V + 3) muls per entry instead of ~254."""
+    prefix = z
+    s = 1
+    while s < v_dim:
+        head = prefix[..., :s]
+        tail = field.mul(prefix[..., s:], prefix[..., :-s])
+        prefix = jnp.concatenate([head, tail], axis=-1)
+        s *= 2
+    suffix = z
+    s = 1
+    while s < v_dim:
+        tail = suffix[..., -s:]
+        head = field.mul(suffix[..., :-s], suffix[..., s:])
+        suffix = jnp.concatenate([head, tail], axis=-1)
+        s *= 2
+    total_inv = field.invert(prefix[..., -1:])  # (nl, bg, 1)
+    one = field.from_int_const(1, z.shape[1:-1] + (1,))
+    p_exc = jnp.concatenate([one, prefix[..., :-1]], axis=-1)
+    s_exc = jnp.concatenate([suffix[..., 1:], one], axis=-1)
+    return field.mul(
+        field.mul(p_exc, s_exc), jnp.broadcast_to(total_inv, p_exc.shape)
+    )
+
+
+def _byte_split_stack(stored, out_dtype):
+    """coords (nl, bg, V) -> (bg, 2L, V): limb rows moved to axis -2,
+    low bytes then high bytes, cast to the table dtype."""
+    full = jnp.concatenate([jnp.moveaxis(s, 0, 1) for s in stored], axis=1)
+    lo = (full & jnp.uint32(0xFF)).astype(jnp.int32).astype(out_dtype)
+    hi = (full >> 8).astype(jnp.int32).astype(out_dtype)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _subset_double_concat(curve, pts, w: int, bg: int):
+    """pts: coords (nl, bg, w) in VMEM -> extended/projective table coords
+    (nl, bg, 2^w): entry v = sum of the group's points selected by v's bits."""
+    nl = curve.nlimbs
+    vals = list(curve.identity((bg, 1)))
+    for j in range(w):
+        width = 1 << j
+        gj_b = [
+            jnp.broadcast_to(c[:, :, j : j + 1], (nl, bg, width)) for c in pts
+        ]
+        shifted = curve._add_impl(
+            curve.make_point(*vals), curve.make_point(*gj_b)
+        )
+        vals = [jnp.concatenate([v, s], axis=-1) for v, s in zip(vals, shifted)]
+    return vals
+
+
+def _ed_build_body_factory(w: int, bg: int, form: str, out_dtype):
+    from ..curves import edwards25519 as ed
+
+    v_dim = 1 << w
+
+    def body(px, py, pz, pt, out_ref):
+        with F.diag_mode():
+            pts = [r[:] for r in (px, py, pz, pt)]  # (16, bg, w)
+            x, y, z, t = _subset_double_concat(ed, pts, w, bg)
+            if form == "niels":
+                zinv = _lane_batch_invert(z, v_dim, F)
+                xa = F.mul(x, zinv)
+                ya = F.mul(y, zinv)
+                stored = (
+                    F.add(ya, xa),
+                    F.sub(ya, xa),
+                    F.mul_const(F.mul(xa, ya), ed.D2_INT),
+                )
+            else:  # cached: (y+x, y-x, z, 2d*t) — no inversion
+                c = ed.to_cached(ed.PointP3(x, y, z, t))
+                stored = (c.a, c.b, c.z, c.t)
+            out_ref[:] = _byte_split_stack(stored, out_dtype)
+
+    return body
+
+
+def _w_build_body_factory(curve, w: int, bg: int, out_dtype):
+    from ..fields import mont as _mont
+
+    def body(px, py, pz, out_ref):
+        with _mont.diag_mode():
+            pts = [r[:] for r in (px, py, pz)]
+            coords = _subset_double_concat(curve, pts, w, bg)
+            out_ref[:] = _byte_split_stack(coords, out_dtype)
+
+    return body
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "w", "form", "out_dtype", "interpret")
+)
+def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: bool):
+    """coords: ncoord x (nl, G, w) -> (G, 2L, V) byte-split table."""
+    from ..curves import edwards25519 as ed
+
+    nl = curve.nlimbs
+    groups = coords[0].shape[1]
+    bg = BUILD_BG
+    if curve is ed:
+        ncoord_out = 3 if form == "niels" else 4
+        body = _ed_build_body_factory(w, bg, form, out_dtype)
+    else:
+        ncoord_out = curve.coord_count
+        body = _w_build_body_factory(curve, w, bg, out_dtype)
+    l2 = 2 * ncoord_out * nl
+    v_dim = 1 << w
+    in_spec = pl.BlockSpec((nl, bg, w), lambda i: (0, i, 0))
+    out_spec = pl.BlockSpec((bg, l2, v_dim), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        body,
+        grid=(groups // bg,),
+        in_specs=[in_spec] * curve.coord_count,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, l2, v_dim), out_dtype),
+        interpret=interpret,
+    )(*coords)
+
+
+def build_split_fits(groups: int, w: int) -> bool:
+    # per-block VMEM: extended table coords 4*(nl*bg*V)*4B plus add/scan
+    # temps — w <= 8 with bg = 8 stays a few MB; wider windows would blow VMEM
+    return w <= 8 and groups >= BUILD_BG and groups % BUILD_BG == 0
+
+
+def build_split_table(points, w: int, curve, form: str, out_dtype, interpret=False):
+    """points: curve batch (n,), n = G*w -> (G, 2L, V) split table, one
+    fused kernel (see header comment above)."""
+    coords = [c.reshape(curve.nlimbs, -1, w) for c in points]
+    return _build_split_tiled(coords, curve, w, form, out_dtype, interpret)
+
+
+# ---------------------------------------------------------------------------
 # fused doubling-ladder combine: out[o] = sum_b 2^b * products[o, b]
 # (reference pippenger2/reduce.h doubling reduction). One kernel instead of
 # num_bits sequential (double + add) dispatches — the ladder's tiny widths
