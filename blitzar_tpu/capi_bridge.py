@@ -60,71 +60,62 @@ def _int_to_f51(v: int) -> list[int]:
 
 
 def _parse_ristretto255_points(addr: int, n: int) -> ed.PointP3:
-    """n sxt_ristretto255 (160 bytes each) -> PointP3 batch."""
+    """n sxt_ristretto255 (160 bytes each) -> PointP3 batch (vectorized
+    radix-51 -> radix-16 conversion, utils/limbs.py)."""
+    from .utils import limbs as _limbs
+
     raw = np.frombuffer(_read(addr, 160 * n), dtype="<u8").reshape(n, 4, 5)
-    coords = []
-    for c in range(4):
-        arr = np.zeros((F51.NLIMBS, n), np.uint32)
-        for i in range(n):
-            v = _f51_to_int(tuple(int(x) for x in raw[i, c]))
-            for limb in range(F51.NLIMBS):
-                arr[limb, i] = (v >> (16 * limb)) & 0xFFFF
-        coords.append(jnp.asarray(arr))
-    return ed.PointP3(*coords)
+    return ed.PointP3(
+        *(jnp.asarray(_limbs.f51_u64_to_limbs16(raw[:, c])) for c in range(4))
+    )
 
 
 def _emit_ristretto255_points(points: ed.PointP3) -> bytes:
-    """PointP3 batch -> packed sxt_ristretto255 array bytes."""
-    from .utils.limbs import limbs_to_ints
+    """PointP3 batch -> packed sxt_ristretto255 array bytes (vectorized)."""
+    from .utils import limbs as _limbs
 
-    out = bytearray()
-    coords_ints = [limbs_to_ints(np.asarray(c)) for c in points]
-    n = len(coords_ints[0])
-    for i in range(n):
-        for c in range(4):
-            for limb in _int_to_f51(coords_ints[c][i] % P25519):
-                out += struct.pack("<Q", limb)
-    return bytes(out)
+    coords = [_limbs.limbs16_to_f51_u64(np.asarray(c)) for c in points]
+    return np.stack(coords, axis=1).astype("<u8").tobytes()  # (n, 4, 5)
 
 
 def _parse_mont_p2_points(addr: int, n: int, curve) -> wc.PointP2:
-    """n {X,Y,Z} Montgomery-u64-limb projective structs -> PointP2 batch."""
+    """n {X,Y,Z} Montgomery-u64-limb projective structs -> PointP2 batch.
+
+    The ABI structs and MontField both hold Montgomery residues, so parsing
+    is a pure limb-width reinterpretation (no modmul)."""
+    from .utils import limbs as _limbs
+
     f = curve.field
     nl64 = f.nbytes // 8
     raw = np.frombuffer(_read(addr, 3 * nl64 * 8 * n), dtype="<u8").reshape(n, 3, nl64)
-    rinv = pow(f.r, -1, f.modulus)
-    coords = []
-    for c in range(3):
-        ints = []
-        for i in range(n):
-            m = sum(int(raw[i, c, j]) << (64 * j) for j in range(nl64))
-            ints.append(m * rinv % f.modulus)
-        coords.append(f.from_ints(ints))
-    return wc.PointP2(*coords)
+    return wc.PointP2(
+        *(jnp.asarray(_limbs.u64_to_limbs16(raw[:, c])) for c in range(3))
+    )
 
 
 def _parse_mont_affine_points(addr: int, n: int, curve, has_infinity: bool) -> wc.PointP2:
-    """n affine Montgomery-limb structs -> PointP2 batch.
+    """n affine Montgomery-limb structs -> PointP2 batch (vectorized).
 
     bls12-381: {X[6], Y[6]} (96 bytes, reference blitzar_api.h:74-78);
     bn254/grumpkin: {X[4], Y[4], u8 infinity} padded to 72 bytes
     (blitzar_api.h:87-106)."""
+    from .utils import limbs as _limbs
+
     f = curve.field
     nl64 = f.nbytes // 8
     stride = 2 * nl64 * 8 + (8 if has_infinity else 0)
-    raw = _read(addr, stride * n)
-    rinv = pow(f.r, -1, f.modulus)
-    xs, ys, zs = [], [], []
-    for i in range(n):
-        rec = raw[i * stride : (i + 1) * stride]
-        x = int.from_bytes(rec[: nl64 * 8], "little") * rinv % f.modulus
-        y = int.from_bytes(rec[nl64 * 8 : 2 * nl64 * 8], "little") * rinv % f.modulus
-        inf = has_infinity and rec[2 * nl64 * 8] != 0
-        if inf:
-            xs.append(0), ys.append(1), zs.append(0)
-        else:
-            xs.append(x), ys.append(y), zs.append(1)
-    return wc.PointP2(f.from_ints(xs), f.from_ints(ys), f.from_ints(zs))
+    raw = np.frombuffer(_read(addr, stride * n), np.uint8).reshape(n, stride)
+    xy = np.ascontiguousarray(raw[:, : 2 * nl64 * 8]).view("<u8").reshape(n, 2, nl64)
+    x = _limbs.u64_to_limbs16(xy[:, 0])  # (nlimbs, n) Montgomery
+    y = _limbs.u64_to_limbs16(xy[:, 1])
+    one_mont = np.asarray(f._int_limbs(f.r))[:, None]
+    z = np.broadcast_to(one_mont, x.shape).copy()
+    if has_infinity:
+        inf = raw[:, 2 * nl64 * 8] != 0  # (n,)
+        x = np.where(inf[None, :], 0, x)
+        y = np.where(inf[None, :], np.broadcast_to(one_mont, y.shape), y)
+        z = np.where(inf[None, :], 0, z)
+    return wc.PointP2(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
 
 
 # ---------------------------------------------------------------------------
@@ -337,17 +328,12 @@ def _emit_fixed_result(res_addr: int, handle, points) -> None:
     if curve is ed:
         _write(res_addr, _emit_ristretto255_points(points))
         return
-    # projective Montgomery p2 structs
-    f = curve.field
-    rec = bytearray()
-    xs = [v * f.r % f.modulus for v in f.to_ints(points.x)]
-    ys = [v * f.r % f.modulus for v in f.to_ints(points.y)]
-    zs = [v * f.r % f.modulus for v in f.to_ints(points.z)]
-    for x, y, z in zip(xs, ys, zs):
-        rec += x.to_bytes(f.nbytes, "little")
-        rec += y.to_bytes(f.nbytes, "little")
-        rec += z.to_bytes(f.nbytes, "little")
-    _write(res_addr, bytes(rec))
+    # projective Montgomery p2 structs: internal limbs are already Montgomery
+    # residues, so emission is a pure limb-width reinterpretation
+    from .utils import limbs as _limbs
+
+    coords = [_limbs.limbs16_to_u64(np.asarray(c)) for c in points]
+    _write(res_addr, np.stack(coords, axis=1).astype("<u8").tobytes())
 
 
 def fixed_multiexponentiation(
