@@ -10,14 +10,25 @@ structure, transcript protocol: domain "inner product proof v1", labels
     x = challenge;  a' = x*a_lo + x^-1*a_hi;  b' = x^-1*b_lo + x*b_hi
     G' = x^-1*G_lo + x*G_hi
 
-TPU mapping: the O(n) work of every round — the two sub-MSMs, the scalar
-folds, and the generator fold — runs jitted on device; only the 64 bytes of
-L/R and the challenge cross to the host per round (Fiat-Shamir forces that
-round trip, reference proof_computation.cc:92-104). a/b live on device as
-Montgomery limb arrays; the two L/R sub-MSMs are fused into ONE two-output
-bucket MSM over [G | Q]. The generator fold is a 256-step batched
-double-and-add scan — the vector-lane dual of the reference's per-thread
-joint signed-digit walk (reference generator_fold.h:33-46).
+TPU mapping: the O(n) work of every round — the two sub-MSMs and the scalar
+folds — runs jitted on device; only the 64 bytes of L/R and the challenge
+cross to the host per round (Fiat-Shamir forces that round trip, reference
+proof_computation.cc:92-104). a/b live on device as Montgomery limb arrays.
+
+The generator fold (reference generator_fold.h:33-46: per-round
+G' = x^-1*G_lo + x*G_hi, a joint signed-digit scalar walk over every
+surviving generator) is ELIMINATED rather than ported: each round-k folded
+generator is a known linear combination of the ORIGINAL generators,
+G^(k)[i] = sum_{j mod n_k == i} mu_j * G_j, where mu_j is the product of the
+previous rounds' challenges (x or x^-1 according to which half index j sat
+in). So L_k = <a_lo, G_hi^(k)> is an MSM over the FIXED original generator
+set with exponents a[(j mod n_k) - mid] * mu_j — and a fixed generator set
+is exactly what the partition-table engine's fused lookup kernel serves
+(msm/fixed.py). Per round: O(n) device scalar muls to form exponents +
+one two-output fixed-table query; mu folds with two broadcast muls. No
+point scalar-multiplications at all outside the MSM kernel. The L/R values
+are mathematically identical to the reference's, so transcripts match
+byte-for-byte.
 """
 
 from __future__ import annotations
@@ -80,19 +91,39 @@ def _mont_from_ints(ints, length: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("mid",))
-def _commit_scalars(a, b, mid: int):
-    """Scalar prep for one round's L/R: returns the (2, np_, 32) byte
-    scalars for the G-part MSM (output 0 = [0 | a_lo], output 1 =
-    [a_hi | 0]) and the (2, 1, 32) byte scalars [cL; cR] for Q."""
+@functools.partial(jax.jit, static_argnames=("mid", "np_"))
+def _round_exponents(a, b, mu, mid: int, np_: int):
+    """One round's MSM exponents over the ORIGINAL generator basis.
+
+    a, b: (nl, n_k) folded Montgomery vectors (n_k = 2*mid); mu: (nl, np_)
+    per-original-generator fold multipliers. Returns the (2, np_, 32) byte
+    exponents [e_L; e_R] for the fixed-G MSM and the (2, 1, 32) byte scalars
+    [cL; cR] for Q, where
+
+      e_L[j] = mu[j] * a_lo[(j mod n_k) - mid]   if (j mod n_k) >= mid else 0
+      e_R[j] = mu[j] * a_hi[(j mod n_k)]         if (j mod n_k) <  mid else 0
+
+    (L = <a_lo, G_hi^(k)> and G_hi^(k)[i] = sum_{j mod n_k == mid+i}
+    mu_j G_j — see module docstring.)"""
+    n_k = 2 * mid
+    reps = np_ // n_k
     a_lo, a_hi = a[:, :mid], a[:, mid:]
     b_lo, b_hi = b[:, :mid], b[:, mid:]
     c_l = S.inner_product(a_lo, b_hi, mid)[..., None]
     c_r = S.inner_product(a_hi, b_lo, mid)[..., None]
-    zeros = S.zeros((mid,))
-    s0 = jnp.concatenate([zeros, a_lo], axis=-1)
-    s1 = jnp.concatenate([a_hi, zeros], axis=-1)
-    g_bytes = jnp.stack([S.to_bytes_le(s0).T, S.to_bytes_le(s1).T])
+
+    nl = mu.shape[0]
+    mu_blk = mu.reshape(nl, reps, n_k)
+    zeros = S.zeros((reps, mid))
+    a_lo_t = jnp.broadcast_to(a_lo[:, None, :], (nl, reps, mid))
+    a_hi_t = jnp.broadcast_to(a_hi[:, None, :], (nl, reps, mid))
+    e_l = jnp.concatenate(
+        [zeros, S.mul(mu_blk[:, :, mid:], a_lo_t)], axis=-1
+    ).reshape(nl, np_)
+    e_r = jnp.concatenate(
+        [S.mul(mu_blk[:, :, :mid], a_hi_t), zeros], axis=-1
+    ).reshape(nl, np_)
+    g_bytes = jnp.stack([S.to_bytes_le(e_l).T, S.to_bytes_le(e_r).T])
     q_bytes = jnp.stack([S.to_bytes_le(c_l).T, S.to_bytes_le(c_r).T])
     return g_bytes, q_bytes
 
@@ -102,45 +133,30 @@ def _add_encode(p: ed.PointP3, q: ed.PointP3):
     return rst.encode(ed.add(p, q)).T  # (2, 32)
 
 
-@functools.partial(jax.jit, static_argnames=("mid",))
-def _small_g_msm(g: ed.PointP3, g_bytes, mid: int):
-    """Small-round G-part MSM: in-jit w=4 table build + query."""
-    from ..msm import fixed as _fixed
-
-    w = 4
-    np_ = 2 * mid
-    n_pad = max(-(-np_ // w) * w, w)
-    if n_pad > np_:
-        pad_pt = ed.identity((n_pad - np_,))
-        g = ed.PointP3(
-            *(jnp.concatenate([gc, pc], axis=-1) for gc, pc in zip(g, pad_pt))
-        )
-        g_bytes = jnp.pad(g_bytes, ((0, 0), (0, n_pad - np_), (0, 0)))
-    table = _fixed._build_table(g, w, ed)
-    t_split = _fixed._split_table_jit(table, ed)
-    return _fixed._query_jit(t_split, g_bytes, w, 2, 256, ed)
+# above this size the per-round fixed-G MSM streams build+query per chunk
+# instead of holding a persistent w=8 table in HBM
+_STREAM_COMMIT_MIN = 1 << 21
 
 
-# above this size the G-part MSM streams build+query per chunk so the
-# largest rounds never hold a full table in HBM (2^19-point rounds OOM'd
-# the in-jit build)
-_STREAM_COMMIT_MIN = 8192
-
-
-def _commit_to_fold(a, b, g: ed.PointP3, q_handle, mid: int):
+def _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid: int, np_: int):
     """L and R for one round (reference gpu_driver.cc:49-65):
-    L = <a_lo, G_hi> + cL*Q, R = <a_hi, G_lo> + cR*Q.
-
-    The G-part of large rounds runs through the memory-bounded streamed
-    build+query MSM (msm/fixed.py); the two cQ terms query a tiny fixed
-    handle built once per proof. Returns (2, 32) uint8 [L, R]."""
+    L = <a_lo, G_hi> + cL*Q, R = <a_hi, G_lo> + cR*Q — both computed as
+    fixed-table MSMs over the original generators (module docstring).
+    Returns (2, 32) uint8 [L, R]."""
     from ..msm import fixed as _fixed
 
-    g_bytes, q_bytes = _commit_scalars(a, b, mid)
-    if 2 * mid >= _STREAM_COMMIT_MIN:
-        part = _fixed._streaming_query_jit(list(g), g_bytes, 8, 2, 256, ed)
+    g_bytes, q_bytes = _round_exponents(a, b, mu, mid, np_)
+    if g_handle is not None:
+        n_table_g = g_handle.num_groups * g_handle.window_width
+        if n_table_g > np_:
+            g_bytes = jnp.pad(g_bytes, ((0, 0), (0, n_table_g - np_), (0, 0)))
+        part = _fixed._query_jit(
+            g_handle.t_split, g_bytes, g_handle.window_width, 2, 256, ed
+        )
     else:
-        part = _small_g_msm(g, g_bytes, mid)
+        part = _fixed._streaming_query_jit(
+            g_stream, g_bytes, None, 8, 2, 256, ed
+        )
     n_table = q_handle.num_groups * q_handle.window_width
     q_bytes = jnp.pad(q_bytes, ((0, 0), (0, n_table - 1), (0, 0)))
     qpart = _fixed._query_jit(
@@ -150,33 +166,25 @@ def _commit_to_fold(a, b, g: ed.PointP3, q_handle, mid: int):
 
 
 @functools.partial(jax.jit, static_argnames=("mid",))
-def _fold(a, b, g: ed.PointP3, x_mont, xinv_mont, x_bits, xinv_bits, mid: int):
-    """Fold scalars and generators: halves every array.
-
-    x_bits/xinv_bits: (256,) uint32 bit decompositions of the challenge and
-    its inverse for the generator double-and-add (host knows x, so bits are
-    computed there — they are public transcript values, not secrets).
-    """
+def _fold(a, b, mu, x_mont, xinv_mont, mid: int):
+    """Fold the scalar vectors and the generator multipliers: a/b halve,
+    mu stays np_-wide (mu_j *= x^-1 where j sat in the lo half, x where hi)."""
     a_lo, a_hi = a[:, :mid], a[:, mid:]
     b_lo, b_hi = b[:, :mid], b[:, mid:]
     a_next = S.add(S.mul(x_mont, a_lo), S.mul(xinv_mont, a_hi))
     b_next = S.add(S.mul(xinv_mont, b_lo), S.mul(x_mont, b_hi))
 
-    g_lo = ed.index_batch(g, (slice(0, mid),))
-    g_hi = ed.index_batch(g, (slice(mid, 2 * mid),))
-    ident = ed.identity((mid,))
-
-    def step(acc, bits):
-        bit_lo, bit_hi = bits
-        acc = ed.double(acc)
-        acc = ed.add(acc, ed.select(ident, g_lo, jnp.broadcast_to(bit_lo == 1, (mid,))))
-        acc = ed.add(acc, ed.select(ident, g_hi, jnp.broadcast_to(bit_hi == 1, (mid,))))
-        return acc, None
-
-    # scan MSB -> LSB; G' = xinv*G_lo + x*G_hi
-    bits = (jnp.flip(xinv_bits[:253]), jnp.flip(x_bits[:253]))
-    g_next, _ = jax.lax.scan(step, ident, bits)
-    return a_next, b_next, g_next
+    nl, np_ = mu.shape
+    n_k = 2 * mid
+    mu_blk = mu.reshape(nl, np_ // n_k, n_k)
+    mu_next = jnp.concatenate(
+        [
+            S.mul(jnp.broadcast_to(xinv_mont[:, None], mu_blk[:, :, :mid].shape), mu_blk[:, :, :mid]),
+            S.mul(jnp.broadcast_to(x_mont[:, None], mu_blk[:, :, mid:].shape), mu_blk[:, :, mid:]),
+        ],
+        axis=-1,
+    ).reshape(nl, np_)
+    return a_next, b_next, mu_next
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
@@ -240,7 +248,15 @@ def prove_inner_product(
 
     a = _mont_from_ints(a_ints, np_)
     b = _mont_from_ints(b_ints, np_)
-    g = g_vector
+    mu = S.one((np_,))
+    if np_ < _STREAM_COMMIT_MIN:
+        from ..msm import engine as _engine
+
+        g_handle = _engine._cached_handle(g_vector, np_, ed, _fixed)
+        g_stream = None
+    else:
+        g_handle = None
+        g_stream = [jnp.asarray(c) for c in g_vector]
     q_handle = _fixed.MultiexpHandle(q_value, window_width=4, n=1)
 
     l_out = np.zeros((num_rounds, 32), np.uint8)
@@ -248,21 +264,14 @@ def prove_inner_product(
     cur = np_
     for round_index in range(num_rounds):
         mid = cur // 2
-        lr = np.asarray(_commit_to_fold(a, b, g, q_handle, mid))
+        lr = np.asarray(
+            _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid, np_)
+        )
         l_out[round_index] = lr[0]
         r_out[round_index] = lr[1]
         x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
         xinv = pow(x, -1, ORDER)
-        a, b, g = _fold(
-            a,
-            b,
-            g,
-            S.from_ints([x]),
-            S.from_ints([xinv]),
-            jnp.asarray(_scalar_bits_le(x)),
-            jnp.asarray(_scalar_bits_le(xinv)),
-            mid,
-        )
+        a, b, mu = _fold(a, b, mu, S.from_ints([x]), S.from_ints([xinv]), mid)
         cur = mid
 
     ap_value = S.to_ints(a)[0]
