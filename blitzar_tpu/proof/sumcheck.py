@@ -190,6 +190,52 @@ def _fold_round(field: MontField, mles, r, one_m_r, mid: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _sum_round_chunk(field: MontField, lo, hi, mults, terms_struct, degree: int):
+    """Chunked round polynomial: same math as _sum_round over one
+    (lo, hi) half-cube slice pair — per-chunk partial coefficient sums are
+    exact mod-field additions, so accumulating them reproduces the resident
+    round bit-for-bit (reference chunked_gpu_driver.h:38-134 streams MLE
+    chunks the same way)."""
+    chunk = lo.shape[-1]
+    poly = [field.zeros(()) for _ in range(degree + 1)]
+    for prod_index, terms in enumerate(terms_struct):
+        a0 = lo[:, terms[0]]
+        b0 = field.sub(hi[:, terms[0]], a0)
+        p = [a0, b0]
+        for t in terms[1:]:
+            a = lo[:, t]
+            b = field.sub(hi[:, t], a)
+            new_p = [field.mul(p[0], a)]
+            for k in range(1, len(p)):
+                new_p.append(
+                    field.add(field.mul(p[k], a), field.mul(p[k - 1], b))
+                )
+            new_p.append(field.mul(p[-1], b))
+            p = new_p
+        mult = mults[:, prod_index]
+        for k, coeff in enumerate(p):
+            total = field.tree_sum(coeff, chunk)
+            poly[k] = field.add(poly[k], field.mul(mult, total))
+    return jnp.stack(poly, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def _fold_round_chunk(field: MontField, lo, hi, r, one_m_r):
+    return field.add(
+        field.mul(one_m_r[:, None], lo), field.mul(r[:, None], hi)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def _combine_partials(field: MontField, parts):
+    """(nchunks, nlimbs, degree+1) partial coefficient sums -> summed."""
+    acc = parts[0]
+    for i in range(1, parts.shape[0]):
+        acc = field.add(acc, parts[i])
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # prover
 # ---------------------------------------------------------------------------
@@ -199,6 +245,18 @@ def ceil_log2(n: int) -> int:
     return max(int(n - 1).bit_length(), 0)
 
 
+# device budget for resident MLE data, in field elements (num_mles * n_pad);
+# above it the prover streams host-resident chunks per round (reference
+# chunked_gpu_driver.h streams while data > 25% of device memory). 2^24
+# elements ~= 1 GB for 16-limb fields. Env-overridable for testing.
+def _device_budget_elements() -> int:
+    import os
+
+    return int(
+        os.environ.get("BLITZAR_TPU_SUMCHECK_BUDGET_ELEMENTS", str(1 << 24))
+    )
+
+
 def prove_sum(
     transcript: SumcheckTranscript,
     mles,
@@ -206,6 +264,7 @@ def prove_sum(
     product_terms,
     n: int,
     codec: FieldCodec = SCALAR25519_CODEC,
+    device_budget_elements: int | None = None,
 ):
     """Returns (round_polynomials, evaluation_point).
 
@@ -215,6 +274,12 @@ def prove_sum(
     indices. round_polynomials: list of num_variables lists, each of
     round_degree+1 coefficient ints (reference prove_sum,
     proof/sumcheck/proof_computation.h:32-69).
+
+    When the padded MLE table exceeds ``device_budget_elements`` the early
+    rounds stream host-resident chunk pairs through the device (identical
+    results — mod-field addition is exact under re-association) and fall
+    back to the resident path once the folded data fits, mirroring the
+    reference's chunked_gpu_driver.h:53-71 memory-fraction switch.
     """
     field = codec.field
     assert n > 0
@@ -224,12 +289,16 @@ def prove_sum(
     num_mles = len(mles)
     degree = max(num_terms for _, num_terms in product_table)
     assert degree <= MAX_DEGREE
+    budget = (
+        device_budget_elements
+        if device_budget_elements is not None
+        else _device_budget_elements()
+    )
 
     flat: list[int] = []
     for row in mles:
         assert len(row) == n
         flat.extend(row + [0] * (n_pad - n))
-    arr = field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
     mults = field.from_ints([m for m, _ in product_table])
     terms_struct = _structure(product_table, product_terms)
 
@@ -238,7 +307,67 @@ def prove_sum(
     polynomials: list[list[int]] = []
     evaluation_point: list[int] = []
     cur = n_pad
-    for _ in range(num_variables):
+
+    arr_host = None
+    arr = None
+    if num_mles * n_pad > budget:
+        arr_host = np.asarray(
+            field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
+        )
+    else:
+        arr = field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
+
+    while arr_host is not None:
+        # streamed rounds: chunk pairs (lo, hi) -> partial coeff sums
+        mid = cur // 2
+        chunk = max(1, budget // (4 * num_mles))  # lo+hi resident, 2x slack
+        chunk = min(chunk, mid)
+        nchunks = -(-mid // chunk)
+        parts = []
+        for c in range(nchunks):
+            c0, c1 = c * chunk, min((c + 1) * chunk, mid)
+            if c1 - c0 != chunk:  # ragged tail: pad with zeros (adds nothing)
+                lo = np.zeros((field.nlimbs, num_mles, chunk), np.uint32)
+                hi = np.zeros_like(lo)
+                lo[:, :, : c1 - c0] = arr_host[:, :, c0:c1]
+                hi[:, :, : c1 - c0] = arr_host[:, :, mid + c0 : mid + c1]
+            else:
+                lo = arr_host[:, :, c0:c1]
+                hi = arr_host[:, :, mid + c0 : mid + c1]
+            parts.append(
+                _sum_round_chunk(
+                    field, jnp.asarray(lo), jnp.asarray(hi), mults,
+                    terms_struct, degree,
+                )
+            )
+        coeffs = _combine_partials(field, jnp.stack(parts))
+        poly_ints = field.to_ints(coeffs)
+        polynomials.append(poly_ints)
+        r = transcript.round_challenge(poly_ints)
+        evaluation_point.append(r)
+        r_mont = field.from_ints([r])
+        one_m_r = field.from_ints([(1 - r) % field.modulus])
+        new_host = np.empty((field.nlimbs, num_mles, mid), np.uint32)
+        for c in range(nchunks):
+            c0, c1 = c * chunk, min((c + 1) * chunk, mid)
+            folded = _fold_round_chunk(
+                field,
+                jnp.asarray(arr_host[:, :, c0:c1]),
+                jnp.asarray(arr_host[:, :, mid + c0 : mid + c1]),
+                r_mont, one_m_r,
+            )
+            new_host[:, :, c0:c1] = np.asarray(folded)
+        arr_host = new_host
+        cur = mid
+        if (
+            len(polynomials) == num_variables
+            or num_mles * cur <= budget
+            or cur <= 2
+        ):
+            arr = jnp.asarray(arr_host)
+            arr_host = None
+
+    for _ in range(num_variables - len(polynomials)):
         mid = cur // 2 if cur > 1 else 1
         if cur == 1:
             # single-variable base case: pad with a zero half

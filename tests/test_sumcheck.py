@@ -109,12 +109,14 @@ def test_verify_rejects_bad_sum_and_tamper():
     assert not ok
 
 
-def test_sharded_matches_single_device():
+@pytest.mark.parametrize(
+    "codec", [sc.SCALAR25519_CODEC, sc.FIELDGK_CODEC], ids=lambda c: c.name
+)
+def test_sharded_matches_single_device(codec):
     import jax
 
     from blitzar_tpu.proof import sumcheck_sharded as scs
 
-    codec = sc.SCALAR25519_CODEC
     n = 37  # non-power-of-2, pads to 64 over 8 devices
     mles, product_table, product_terms, m = _problem(n, 3, codec, seed=55)
     mesh = scs.make_mesh(jax.devices()[:8])
@@ -129,6 +131,26 @@ def test_sharded_matches_single_device():
     )
     assert polys_s == polys
     assert eval_s == eval_
+
+
+def test_chunked_matches_resident():
+    """Forced-small-budget chunked prover == resident prover, bit-for-bit
+    (reference chunked_gpu_driver.t.cc checks the chunked driver against the
+    single-device driver the same way)."""
+    codec = sc.SCALAR25519_CODEC
+    n = 24  # pads to 32; budget forces several streamed rounds, ragged tail
+    mles, product_table, product_terms, m = _problem(n, 3, codec, seed=77)
+    polys_res, eval_res = sc.prove_sum(
+        sc.ReferenceSumcheckTranscript(Transcript(b"test"), codec),
+        mles, product_table, product_terms, n, codec,
+    )
+    polys_chk, eval_chk = sc.prove_sum(
+        sc.ReferenceSumcheckTranscript(Transcript(b"test"), codec),
+        mles, product_table, product_terms, n, codec,
+        device_budget_elements=36,  # << 3*32: streams chunk=3 (ragged tails)
+    )
+    assert polys_chk == polys_res
+    assert eval_chk == eval_res
 
 
 def test_callback_transcript():
