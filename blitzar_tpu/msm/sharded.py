@@ -23,11 +23,27 @@ from ..fields import fp25519 as F
 from . import engine
 
 AXIS = "points"
+OUT_AXIS = "outputs"
 
 
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_mesh2d(outputs: int, points: int, devices=None) -> Mesh:
+    """2-D (outputs x points) mesh: many-output MSMs shard the output axis
+    too (the reference distributes outputs round-robin over devices for
+    small-n many-output problems, bucket_method2/multiexponentiation.h:
+    108-121; here both axes shard simultaneously). For multi-host runs make
+    the outputs axis the outer (DCN) dimension: output shards never
+    communicate, so only the O(outputs*bits) point-axis fold rides the
+    slower links."""
+    devices = devices if devices is not None else jax.devices()
+    assert outputs * points == len(devices)
+    return Mesh(
+        np.asarray(devices).reshape(outputs, points), (OUT_AXIS, AXIS)
+    )
 
 
 @functools.partial(
@@ -121,6 +137,80 @@ def msm_partition_sharded_jit(
         out_specs=curve.make_point(*([P()] * curve.coord_count)),
         check_vma=False,
     )(list(points), scalars_dev)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_width", "num_outputs", "nbits", "mesh", "curve"),
+)
+def msm_partition_sharded2d_jit(
+    points, scalars_dev, window_width: int, num_outputs: int, nbits: int,
+    mesh: Mesh, curve=ed,
+):
+    """Partition-table MSM on a 2-D (outputs x points) mesh: points and
+    their tables shard over AXIS (replicated across output shards); scalars
+    and result points shard over OUT_AXIS. The per-bit partial-product fold
+    all-gathers over AXIS only — output shards never communicate."""
+    from . import fixed as _fixed
+
+    def local(pts, scal):
+        table = _fixed._build_table(curve.make_point(*pts), window_width, curve)
+        t_split = _fixed._split_table_jit(table, curve)
+        o_local, n_local, nbytes = scal.shape
+        shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+        bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
+        rows = bits.reshape(o_local, n_local, nbits).transpose(0, 2, 1).reshape(
+            o_local * nbits, n_local
+        )
+        products = _fixed._partition_products(t_split, rows, window_width, curve)
+        gathered = jax.lax.all_gather(jnp.stack(list(products)), AXIS)
+        parts = curve.make_point(
+            *(jnp.moveaxis(gathered[:, k], 0, -1) for k in range(curve.coord_count))
+        )
+        total = curve.tree_reduce(parts, mesh.shape[AXIS])  # (o_local*nbits,)
+        prods = curve.reshape_batch(total, (o_local, nbits))
+        return _fixed._doubling_combine(prods, nbits, curve)
+
+    shard_pt = P(None, AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=([shard_pt] * curve.coord_count, P(OUT_AXIS, AXIS, None)),
+        out_specs=curve.make_point(
+            *([P(None, OUT_AXIS)] * curve.coord_count)
+        ),
+        check_vma=False,
+    )(list(points), scalars_dev)
+
+
+def msm_partition2d(mesh: Mesh, points, scalars, n: int, curve=ed):
+    """Many-output entry for the 2-D mesh: scalars (O, n, nbytes) uint8
+    unsigned; O divisible-padded over the outputs axis, n over points."""
+    num_outputs, _, nbytes = scalars.shape
+    d_out = mesh.shape[OUT_AXIS]
+    d_pts = mesh.shape[AXIS]
+    w = 8 if n <= (1 << 20) else 4
+    n_pad = -(-n // (d_pts * w)) * (d_pts * w)
+    o_pad = -(-num_outputs // d_out) * d_out
+    if scalars.shape[1] < n_pad or num_outputs < o_pad:
+        scalars = np.pad(
+            scalars,
+            ((0, o_pad - num_outputs), (0, n_pad - scalars.shape[1]), (0, 0)),
+        )
+    npts = points.x.shape[-1]
+    if npts < n_pad:
+        pad = curve.identity((n_pad - npts,))
+        points = curve.make_point(
+            *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
+        )
+    elif npts > n_pad:
+        points = curve.index_batch(points, (slice(0, n_pad),))
+    out = msm_partition_sharded2d_jit(
+        points, jnp.asarray(scalars), w, o_pad, 8 * nbytes, mesh, curve
+    )
+    if o_pad != num_outputs:
+        out = curve.index_batch(out, (slice(0, num_outputs),))
+    return out
 
 
 def msm_partition(mesh: Mesh, points, scalars, n: int, curve=ed):
