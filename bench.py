@@ -29,6 +29,7 @@ from blitzar_tpu import generators as gen
 from blitzar_tpu.curves import edwards25519 as ed
 from blitzar_tpu.curves import ristretto as rst
 from blitzar_tpu.msm import fixed
+from blitzar_tpu.utils import profiling
 
 LOG_N = int(os.environ.get("BLITZAR_TPU_BENCH_LOG_N", "20"))
 NUM_OUTPUTS = int(os.environ.get("BLITZAR_TPU_BENCH_OUTPUTS", "1"))
@@ -62,13 +63,14 @@ def main():
     t_compile = time.time() - t0
 
     times = []
-    for _ in range(SAMPLES):
-        t0 = time.time()
-        out = fixed._query_jit(
-            handle.t_split, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
-        )
-        np.asarray(out.x[:, :1])  # D2H forces real completion on the tunnel
-        times.append(time.time() - t0)
+    with profiling.trace("fixed_msm_query"):  # no-op unless $BLITZAR_TPU_PROFILE_DIR
+        for _ in range(SAMPLES):
+            t0 = time.time()
+            out = fixed._query_jit(
+                handle.t_split, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
+            )
+            np.asarray(out.x[:, :1])  # D2H forces real completion on the tunnel
+            times.append(time.time() - t0)
 
     best = min(times)
     pps = NUM_OUTPUTS * n / best

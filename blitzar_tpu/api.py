@@ -101,6 +101,14 @@ def init(backend: str = "auto", num_precomputed_generators: int = 0, mesh=None):
     _BACKEND.initialized = True
     if num_precomputed_generators:
         _gen.init_precomputed_generators(int(num_precomputed_generators))
+    if os.environ.get("BLITZAR_TPU_WARMUP"):
+        # eager-compile the hot MSM programs with a tiny problem, so the
+        # first real call doesn't pay minutes of XLA compilation (the analog
+        # of the reference's PTX-JIT warm-up dummy MSM at init,
+        # gpu_backend.cc:80-101). Pair with jax's persistent compilation
+        # cache (jax_compilation_cache_dir) to amortize across processes.
+        dummy = np.ones((1, 1), np.uint8)
+        _engine.msm(_gen.ristretto_generators(8), [dummy], [1], [False])
     log.info("initialized backend=%s devices=%d", backend, len(jax.devices()))
 
 

@@ -211,6 +211,58 @@ BN254_G1 = WCurve("bn254_g1", params.BN254_FP, 3, ref.BN254_G1)
 GRUMPKIN = WCurve("grumpkin", params.BN254_FR, -17, ref.GRUMPKIN)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bls_decompress_jit(x_mont, want_largest, inf):
+    """x (nlimbs, n) Montgomery; want_largest/inf (n,) bool. Returns
+    projective coords + per-point validity (y^2 = x^3 + 4 solvable)."""
+    curve = BLS12381_G1
+    F = curve.field
+    y2 = F.add(
+        F.mul(F.mul(x_mont, x_mont), x_mont),
+        jnp.broadcast_to(
+            F._const(curve.b * F.r % F.modulus, x_mont.ndim - 1), x_mont.shape
+        ),
+    )
+    y = F.sqrt_3mod4(y2)
+    ok = F.eq(F.mul(y, y), y2)
+    largest = F.gt_const_std(y, (F.modulus - 1) // 2)
+    y = F.cmov(y, F.neg(y), largest != want_largest)
+    one = F.one(x_mont.shape[1:])
+    zero = F.zeros(x_mont.shape[1:])
+    x_out = F.cmov(x_mont, zero, inf)
+    y_out = F.cmov(y, one, inf)
+    z_out = F.cmov(one, zero, inf)
+    valid = ok | inf
+    return x_out, y_out, z_out, valid
+
+
+def decompress_bls12_381(data: np.ndarray):
+    """(n, 48) uint8 zcash-format compressed encodings -> (PointP2 batch,
+    (n,) bool valid). Device-side sqrt chain + sign selection (reference
+    curve_g1/operation/compression.cc decompression direction); the host
+    only shuffles flag bits and byte order."""
+    data = np.asarray(data, np.uint8).reshape(-1, 48)
+    flags = data[:, 0]
+    compressed = (flags & 0b1000_0000) != 0
+    inf = (flags & 0b0100_0000) != 0
+    want_largest = (flags & 0b0010_0000) != 0
+    xb = data.copy()
+    xb[:, 0] &= 0b0001_1111
+    x_le = np.ascontiguousarray(xb[:, ::-1].T)  # (48, n) little-endian
+    F = BLS12381_G1.field
+    x_mont = F.from_bytes_le(jnp.asarray(x_le))
+    x_out, y_out, z_out, valid = _bls_decompress_jit(
+        x_mont, jnp.asarray(want_largest), jnp.asarray(inf)
+    )
+    valid = np.asarray(valid) & compressed
+    return PointP2(x_out, y_out, z_out), valid
+
+
 def compress_bls12_381(p: PointP2) -> np.ndarray:
     """(n,) bls12-381 G1 batch -> (n, 48) uint8 zcash-format compressed
     encodings (reference curve_g1/operation/compression.cc:34-60)."""

@@ -68,6 +68,45 @@ def test_ed_round_trip(tmp_path):
     assert (a == b).all()
 
 
+def test_w16_file_rewindowed_on_import(tmp_path):
+    """Reference-written files default to window_width 16; import must
+    re-window to w=8 (V=256) so queries ride the fused lookup kernel instead
+    of the einsum fallback. The w=16 file is synthesized with the pure-Python
+    oracle (subset-sum DP over 2^16 entries)."""
+    n = 16  # one w=16 group -> two w=8 groups
+    pts = R.get_generators(n)
+    table = [(0, 1, 1, 0)] * (1 << 16)
+    for v in range(1, 1 << 16):
+        j = (v & -v).bit_length() - 1
+        table[v] = R.pt_add(table[v & (v - 1)], pts[j])
+    blob = bytearray(struct.pack("<I", 16))
+    rows = np.empty((1 << 16, 15), np.uint64)
+    for v, (x, y, z, _t) in enumerate(table):
+        zinv = pow(z, R.P - 2, R.P)
+        xa, ya = x * zinv % R.P, y * zinv % R.P
+        rows[v, 0:5] = _radix51(xa)
+        rows[v, 5:10] = _radix51(ya)
+        rows[v, 10:15] = _radix51(xa * ya % R.P)
+    blob += rows.astype("<u8").tobytes()
+    path = str(tmp_path / "w16.bin")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
+    handle = interop.read_reference_file(path, ed)
+    assert handle.window_width == 8
+    assert handle.num_groups == 2
+    assert handle.n == n
+
+    rng = np.random.default_rng(11)
+    scalars = rng.integers(0, 256, size=(1, n, 4), dtype=np.uint8)
+    got = np.asarray(
+        rst.encode(fixed.fixed_multiexponentiation(handle, scalars))
+    )
+    vals = [int.from_bytes(bytes(scalars[0, i]), "little") for i in range(n)]
+    want = R.ristretto_encode(R.naive_msm(vals, pts))
+    assert bytes(got[:, 0]) == want
+
+
 @pytest.mark.parametrize(
     "curve", [wc.BLS12381_G1, wc.BN254_G1, wc.GRUMPKIN], ids=lambda c: c.name
 )

@@ -67,6 +67,26 @@ def test_signed_and_mixed():
     run_case([[-5, 3], [200, 100]], [4, 1], [True, False])
 
 
+def test_empty_sequence_list():
+    # no outputs at all (reference exercise: f(rng, {}) with empty inputs)
+    got = engine.msm(DEV_GENS, [], [], [])
+    assert got.x.shape[-1] == 0
+
+
+def test_n_zero_descriptor_mixed_with_nonempty():
+    run_case([[], [3, 4], []], [4, 4, 1], [False, False, False])
+    run_case([[], [-3]], [2, 2], [True, True])
+
+
+def test_signed_16_byte_boundary():
+    # element_nbytes = 16 is the widest signed width the ABI admits
+    # (reference populate_exponent_sequence rejects signed > 16 bytes);
+    # exercise the two's-complement boundary values
+    bound = 1 << 127
+    run_case([[-bound, bound - 1, -1, 1]], [16], [True])
+    run_case([[-bound] * 3, [bound - 1] * 3], [16, 16], [True, True])
+
+
 def test_ragged_lengths():
     # different sequence lengths across outputs (shorter ones zero-padded)
     run_case([[1, 2, 3, 4, 5, 6, 7], [9, 8], []], [2, 2, 2], [False] * 3)

@@ -136,6 +136,96 @@ def test_ed_lookup_msm_interpret():
         assert bytes(got_bytes[r]) == R.ristretto_encode(acc), f"row {r}"
 
 
+def test_w_lookup_msm_interpret():
+    """The curve-generic fused lookup+accumulate kernel (Weierstrass msm
+    fast path) vs the curve oracle."""
+    from blitzar_tpu.msm import fixed
+
+    curve = wc.BN254_G1
+    n, w = 64, 8  # G = 8 groups of 8 = W_LOOKUP_GT, V = 256
+    pts = curve.oracle.random_points(n, seed=5)
+    handle = fixed.MultiexpHandle(
+        curve.from_affine_ints(pts), window_width=w, curve=curve
+    )
+    g_count = handle.num_groups
+    l2 = 6 * curve.nlimbs
+    t_flat = np.asarray(handle.t_split, np.float32).reshape(g_count, l2, 256)
+
+    rng = np.random.default_rng(43)
+    r_rows = 8
+    idx = rng.integers(0, 256, size=(r_rows, g_count), dtype=np.int32)
+    got = pp.w_lookup_msm(curve, t_flat, idx, interpret=True)
+    got_aff = curve.to_affine_ints(got)
+
+    for r in range(r_rows):
+        acc = None
+        for g in range(g_count):
+            v = int(idx[r, g])
+            for j in range(w):
+                if v >> j & 1:
+                    acc = curve.oracle.add(acc, pts[g * w + j])
+        assert got_aff[r] == acc, f"row {r}"
+
+
+class _FakeRef:
+    """Minimal Ref stand-in so kernel bodies can be numerics-tested without
+    Pallas tracing (interpret-mode compiles are pathologically slow on this
+    1-core host; Mosaic-specific behavior is validated on real TPU)."""
+
+    def __init__(self, val=None):
+        self.val = val
+
+    def __getitem__(self, k):
+        return self.val[k]
+
+    def __setitem__(self, k, v):
+        assert k == slice(None)
+        self.val = v
+
+
+@pytest.mark.parametrize("form", ["niels", "cached"])
+def test_build_split_table_body_ed(form):
+    """The fused partition-table build kernel body vs the chunked XLA build
+    (reference pippenger2/partition_table.h:36-98 builds the same subset-sum
+    tables inline with deployment workflows)."""
+    import jax.numpy as jnp
+
+    from blitzar_tpu.msm import fixed
+
+    w, bg = 8, pp.BUILD_BG
+    n = bg * w
+    pts = gen.ristretto_generators(n)
+    expect = np.asarray(
+        fixed._build_split_table_xla(pts, w, ed, form)
+    ).reshape(bg, -1, 1 << w)
+
+    coords = [jnp.asarray(c).reshape(16, bg, w) for c in pts]
+    body = pp._ed_build_body_factory(w, bg, form, fixed._table_dtype())
+    out = _FakeRef()
+    body(*[_FakeRef(c) for c in coords], out)
+    assert (np.asarray(out.val) == expect).all()
+
+
+def test_build_split_table_body_weierstrass():
+    import jax.numpy as jnp
+
+    from blitzar_tpu.msm import fixed
+
+    curve = wc.BN254_G1
+    w, bg = 4, pp.BUILD_BG
+    n = bg * w
+    pts = curve.from_affine_ints(curve.oracle.random_points(n, seed=7))
+    expect = np.asarray(
+        fixed._build_split_table_xla(pts, w, curve, "cached")
+    ).reshape(bg, -1, 1 << w)
+
+    coords = [jnp.asarray(c).reshape(curve.nlimbs, bg, w) for c in pts]
+    body = pp._w_build_body_factory(curve, w, bg, fixed._table_dtype())
+    out = _FakeRef()
+    body(*[_FakeRef(c) for c in coords], out)
+    assert (np.asarray(out.val) == expect).all()
+
+
 def test_field_mul_sq_kernels_interpret(points):
     from blitzar_tpu.fields import fp25519 as F
 

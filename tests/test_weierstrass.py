@@ -90,3 +90,19 @@ def test_bls12_381_compression_vs_oracle():
     for j, pt in enumerate(pts):
         assert bytes(got[j]) == ref.compress_bls12_381(pt), f"point {j}"
         assert ref.decompress_bls12_381(bytes(got[j])) == pt
+
+    # device-side decompression roundtrip (reference compression.cc is
+    # bidirectional)
+    back, valid = wc.decompress_bls12_381(got)
+    assert valid.all()
+    assert curve.to_affine_ints(back) == pts
+    # invalid x (not on curve) flagged
+    bad = got.copy()
+    bad[0] = 0
+    bad[0, 0] = 0b1000_0000
+    bad[0, 47] = 5  # x = 5: 125+4 is a QR? oracle says...
+    from blitzar_tpu.refimpl.weierstrass import BLS12381_P, _sqrt_mod
+
+    expect_valid = _sqrt_mod(5**3 + 4, BLS12381_P) is not None
+    _, valid2 = wc.decompress_bls12_381(bad)
+    assert bool(valid2[0]) == expect_valid

@@ -1,0 +1,26 @@
+#!/bin/sh
+# CI entry point (the analog of reference ci/build.sh + the bazel test
+# matrix, .github/workflows/test-check-lint.yml):
+#   1. fast host-only tests (limbs, transcript, refimpl oracles)
+#   2. full pytest suite on the virtual 8-device CPU mesh
+#   3. native .so build + C ABI end-to-end (subprocess driver + abi_test.c)
+#   4. checks mode: JAX runtime checks enabled on the fast subset
+#      (the sanitizer-equivalent toggle; reference runs ASAN/compute-sanitizer)
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== fast host-only tests =="
+python -m pytest tests/test_limbs.py tests/test_transcript.py tests/test_refimpl.py -q
+
+echo "== full suite (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== native ABI =="
+OUT=$(mktemp -d)
+cbindings/build.sh "$OUT"
+python tests/capi_driver.py "$OUT/libblitzar_tpu.so" "$PWD"
+
+echo "== checks mode (jax_enable_checks) =="
+JAX_ENABLE_CHECKS=1 python -m pytest tests/test_limbs.py tests/test_msm.py -q
+
+echo "CI_OK"
