@@ -212,6 +212,79 @@ def bench_sumcheck(n, degree, num_products, samples):
     )
 
 
+def bench_setup(log_ns, samples):
+    """sxt_multiexp_handle_new cost: partition-table build wall time
+    (VERDICT r1 weak #1 — the fused Pallas build kernel's 'done' metric is
+    setup < 30 s at 2^20/w=8)."""
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import fixed
+
+    for log_n in log_ns:
+        n = 1 << log_n
+        points = gen.ristretto_generators(n)
+        _sync(points.x[:, :1])
+        times = []
+        for _ in range(samples):
+            t0 = time.time()
+            handle = fixed.MultiexpHandle(points, window_width=8)
+            _sync(handle.t_split[:1, :1, :1])
+            times.append(time.time() - t0)
+            del handle
+        _emit("handle_setup", {"n": n, "window_width": 8}, min(times), work=n)
+
+
+def bench_signed(log_n, samples):
+    """Signed vs unsigned partition MSM at the same shape (VERDICT r1 #5:
+    signed within 2.5x of unsigned)."""
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import engine
+
+    n = 1 << log_n
+    points = gen.ristretto_generators(n)
+    rng = np.random.default_rng(5)
+    data_u = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    data_s = data_u.copy()
+
+    def run_u():
+        out = engine.msm(points, [data_u], [16], [False])
+        _sync(out.x[:, :1])
+
+    def run_s():
+        out = engine.msm(points, [data_s], [16], [True])
+        _sync(out.x[:, :1])
+
+    dt_u = _time(run_u, samples)
+    dt_s = _time(run_s, samples)
+    _emit("msm_unsigned", {"n": n, "element_nbytes": 16}, dt_u, work=n)
+    _emit(
+        "msm_signed",
+        {"n": n, "element_nbytes": 16, "vs_unsigned": round(dt_s / dt_u, 2)},
+        dt_s,
+        work=n,
+    )
+
+
+def bench_streaming(log_ns, samples):
+    """Dense streaming (build-per-query) MSM — the 2^21/2^24 dynamic-MSM
+    rows of BASELINE.md."""
+    from blitzar_tpu import generators as gen
+    from blitzar_tpu.msm import fixed
+
+    rng = np.random.default_rng(6)
+    for log_n in log_ns:
+        n = 1 << log_n
+        points = gen.ristretto_generators(n)
+        _sync(points.x[:, :1])
+        scalars = rng.integers(0, 256, size=(1, n, 32), dtype=np.uint8)
+
+        def run():
+            out = fixed.streaming_multiexponentiation(points, scalars)
+            _sync(out.x[:, :1])
+
+        dt = _time(run, samples)
+        _emit("streaming_msm", {"n": n}, dt, work=n)
+
+
 def bench_primitives(samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.curves import edwards25519 as ed
@@ -244,7 +317,10 @@ def main():
     parser.add_argument(
         "--suite",
         default="pedersen",
-        choices=["pedersen", "fixed", "vlen", "ipa", "sumcheck", "primitives", "all"],
+        choices=[
+            "pedersen", "fixed", "vlen", "ipa", "sumcheck", "primitives",
+            "setup", "signed", "streaming", "baseline", "all",
+        ],
     )
     parser.add_argument("--samples", type=int, default=3)
     parser.add_argument("--quick", action="store_true", help="small sizes only")
@@ -269,6 +345,20 @@ def main():
             bench_sumcheck(ns[0], 3, 2, args.samples)
         elif suite == "primitives":
             bench_primitives(args.samples)
+        elif suite == "setup":
+            bench_setup([16] if args.quick else [18, 20], args.samples)
+        elif suite == "signed":
+            bench_signed(14 if args.quick else 20, args.samples)
+        elif suite == "streaming":
+            bench_streaming([16] if args.quick else [21, 24], args.samples)
+        elif suite == "baseline":
+            # every BASELINE.md target row in one run (TPU hardware)
+            bench_setup([20], args.samples)
+            bench_fixed([1 << 20], ["ristretto255", "bls12-381"], args.samples)
+            bench_signed(20, args.samples)
+            bench_streaming([21, 24], args.samples)
+            bench_ipa([1 << 20], 1)
+            bench_sumcheck(1 << 20, 3, 2, 1)
 
 
 if __name__ == "__main__":

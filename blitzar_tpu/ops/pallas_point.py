@@ -692,7 +692,10 @@ def w_lookup_msm(curve, t_flat, idx, interpret: bool = False):
 # pippenger2/partition_table.h:36-98).
 # ---------------------------------------------------------------------------
 
-BUILD_BG = 8  # generator groups per grid step
+BUILD_BG = 8  # generator groups per grid step: the in-flight extended
+# table (4 coords x (nl, bg, 2^w) u32 = 8.4 MB at w=8) plus scan temps must
+# fit ~16 MB VMEM; input blocks are (nl, bg*w) 2-D (sub-128 minor, padded
+# by Mosaic — they are only 4 KB)
 
 
 def _lane_batch_invert(z, v_dim: int, field):
@@ -752,10 +755,13 @@ def _ed_build_body_factory(w: int, bg: int, form: str, out_dtype):
     from ..curves import edwards25519 as ed
 
     v_dim = 1 << w
+    nl = 16
 
     def body(px, py, pz, pt, out_ref):
         with F.diag_mode():
-            pts = [r[:] for r in (px, py, pz, pt)]  # (16, bg, w)
+            # refs are (nl, bg*w) blocks (keeps the Mosaic block minor dim
+            # 128-aligned); split lanes into (bg, w) in-register
+            pts = [r[:].reshape(nl, bg, w) for r in (px, py, pz, pt)]
             x, y, z, t = _subset_double_concat(ed, pts, w, bg)
             if form == "niels":
                 zinv = _lane_batch_invert(z, v_dim, F)
@@ -777,9 +783,11 @@ def _ed_build_body_factory(w: int, bg: int, form: str, out_dtype):
 def _w_build_body_factory(curve, w: int, bg: int, out_dtype):
     from ..fields import mont as _mont
 
+    nl = curve.nlimbs
+
     def body(px, py, pz, out_ref):
         with _mont.diag_mode():
-            pts = [r[:] for r in (px, py, pz)]
+            pts = [r[:].reshape(nl, bg, w) for r in (px, py, pz)]
             coords = _subset_double_concat(curve, pts, w, bg)
             out_ref[:] = _byte_split_stack(coords, out_dtype)
 
@@ -790,11 +798,11 @@ def _w_build_body_factory(curve, w: int, bg: int, out_dtype):
     jax.jit, static_argnames=("curve", "w", "form", "out_dtype", "interpret")
 )
 def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: bool):
-    """coords: ncoord x (nl, G, w) -> (G, 2L, V) byte-split table."""
+    """coords: ncoord x (nl, G*w) -> (G, 2L, V) byte-split table."""
     from ..curves import edwards25519 as ed
 
     nl = curve.nlimbs
-    groups = coords[0].shape[1]
+    groups = coords[0].shape[1] // w
     bg = BUILD_BG
     if curve is ed:
         ncoord_out = 3 if form == "niels" else 4
@@ -804,7 +812,8 @@ def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: b
         body = _w_build_body_factory(curve, w, bg, out_dtype)
     l2 = 2 * ncoord_out * nl
     v_dim = 1 << w
-    in_spec = pl.BlockSpec((nl, bg, w), lambda i: (0, i, 0))
+    # coords arrive (nl, G*w); blocks are (nl, bg*w) = (nl, 128)-aligned
+    in_spec = pl.BlockSpec((nl, bg * w), lambda i: (0, i))
     out_spec = pl.BlockSpec((bg, l2, v_dim), lambda i: (i, 0, 0))
     return pl.pallas_call(
         body,
@@ -818,14 +827,15 @@ def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: b
 
 def build_split_fits(groups: int, w: int) -> bool:
     # per-block VMEM: extended table coords 4*(nl*bg*V)*4B plus add/scan
-    # temps — w <= 8 with bg = 8 stays a few MB; wider windows would blow VMEM
+    # temps — w <= 8 with bg = 16 stays a few MB; wider windows would blow
+    # VMEM
     return w <= 8 and groups >= BUILD_BG and groups % BUILD_BG == 0
 
 
 def build_split_table(points, w: int, curve, form: str, out_dtype, interpret=False):
     """points: curve batch (n,), n = G*w -> (G, 2L, V) split table, one
     fused kernel (see header comment above)."""
-    coords = [c.reshape(curve.nlimbs, -1, w) for c in points]
+    coords = [c.reshape(curve.nlimbs, -1) for c in points]
     return _build_split_tiled(coords, curve, w, form, out_dtype, interpret)
 
 

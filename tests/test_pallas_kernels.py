@@ -199,7 +199,7 @@ def test_build_split_table_body_ed(form):
         fixed._build_split_table_xla(pts, w, ed, form)
     ).reshape(bg, -1, 1 << w)
 
-    coords = [jnp.asarray(c).reshape(16, bg, w) for c in pts]
+    coords = [jnp.asarray(c).reshape(16, bg * w) for c in pts]
     body = pp._ed_build_body_factory(w, bg, form, fixed._table_dtype())
     out = _FakeRef()
     body(*[_FakeRef(c) for c in coords], out)
@@ -219,7 +219,7 @@ def test_build_split_table_body_weierstrass():
         fixed._build_split_table_xla(pts, w, curve, "cached")
     ).reshape(bg, -1, 1 << w)
 
-    coords = [jnp.asarray(c).reshape(curve.nlimbs, bg, w) for c in pts]
+    coords = [jnp.asarray(c).reshape(curve.nlimbs, bg * w) for c in pts]
     body = pp._w_build_body_factory(curve, w, bg, fixed._table_dtype())
     out = _FakeRef()
     body(*[_FakeRef(c) for c in coords], out)
