@@ -246,9 +246,10 @@ def curve25519_get_one_commit(res_addr: int, n: int) -> int:
 # -- inner product -----------------------------------------------------------
 
 
-def _read_scalars(addr: int, n: int) -> list[int]:
-    raw = _read(addr, 32 * n)
-    return [int.from_bytes(raw[32 * i : 32 * i + 32], "little") for i in range(n)]
+def _read_scalars(addr: int, n: int) -> np.ndarray:
+    """(n, 32) uint8 LE rows — passed through to the prover without
+    per-element Python int conversion."""
+    return np.frombuffer(_read(addr, 32 * n), np.uint8).reshape(n, 32).copy()
 
 
 def curve25519_prove_inner_product(

@@ -67,22 +67,38 @@ def scalars_to_ints(values) -> list[int]:
     return out
 
 
+def _scalar_rows(values) -> np.ndarray:
+    """Normalize scalar input to (n, 32) uint8 LE rows WITHOUT per-element
+    Python int round trips (an (n, 32) uint8 array — the ABI layout — passes
+    straight through; 2^20-scalar proofs were paying three Python loops)."""
+    if (
+        isinstance(values, np.ndarray)
+        and values.dtype == np.uint8
+        and values.ndim == 2
+        and values.shape[1] == 32
+    ):
+        return values
+    ints = scalars_to_ints(values)
+    rows = np.zeros((len(ints), 32), np.uint8)
+    for i, v in enumerate(ints):
+        rows[i] = np.frombuffer(int(v).to_bytes(32, "little"), np.uint8)
+    return rows
+
+
+def _mont_from_rows(rows: np.ndarray, length: int):
+    """(n, 32) uint8 LE rows -> (nlimbs, length) Montgomery array
+    (zero-padded), reduced mod l on device."""
+    if rows.shape[0] < length:
+        rows = np.pad(rows, ((0, length - rows.shape[0]), (0, 0)))
+    return S.from_bytes_le(jnp.asarray(rows.T))
+
+
 def ceil_log2(n: int) -> int:
     return max(int(n - 1).bit_length(), 0)
 
 
 def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
     return np.array([(x >> i) & 1 for i in range(nbits)], dtype=np.uint32)
-
-
-def _mont_from_ints(ints, length: int):
-    """Python ints -> (nlimbs, length) Montgomery array, zero-padded.
-    Byte rows are built on the host and converted on device — S.from_ints'
-    per-value python loop is minutes at n = 2^20."""
-    rows = np.zeros((length, 32), np.uint8)
-    for i, v in enumerate(ints):
-        rows[i] = np.frombuffer(int(v).to_bytes(32, "little"), np.uint8)
-    return S.from_bytes_le(jnp.asarray(rows.T))
 
 
 # ---------------------------------------------------------------------------
@@ -228,10 +244,10 @@ def prove_inner_product(
     ap_value int). g_vector must have np = 2^ceil_log2(n) points; q_value is a
     (1,)-batch point (reference prove_inner_product,
     proof_computation.cc:61-107)."""
-    a_ints = scalars_to_ints(a_vector)
-    b_ints = scalars_to_ints(b_vector)
-    n = len(a_ints)
-    assert n > 0 and len(b_ints) == n
+    a_rows = _scalar_rows(a_vector)
+    b_rows = _scalar_rows(b_vector)
+    n = a_rows.shape[0]
+    assert n > 0 and b_rows.shape[0] == n
     num_rounds = ceil_log2(n)
     np_ = 1 << num_rounds
     assert g_vector.x.shape[-1] == np_, "g_vector must have 2^ceil(lg n) entries"
@@ -241,13 +257,13 @@ def prove_inner_product(
         return (
             np.zeros((0, 32), np.uint8),
             np.zeros((0, 32), np.uint8),
-            a_ints[0],
+            int.from_bytes(bytes(a_rows[0]), "little") % ORDER,
         )
 
     from ..msm import fixed as _fixed
 
-    a = _mont_from_ints(a_ints, np_)
-    b = _mont_from_ints(b_ints, np_)
+    a = _mont_from_rows(a_rows, np_)
+    b = _mont_from_rows(b_rows, np_)
     mu = S.one((np_,))
     if np_ < _STREAM_COMMIT_MIN:
         from ..msm import engine as _engine
@@ -310,8 +326,8 @@ def verify_inner_product(
     one MSM over [Q | G | L | R] with exponents
     [<g_exps, b>, g_exps, -x_i^2, -x_i^-2], compared against
     compress(product*Q + a_commit)."""
-    b_ints = scalars_to_ints(b_vector)
-    n = len(b_ints)
+    b_rows = _scalar_rows(b_vector)
+    n = b_rows.shape[0]
     assert n > 0
     num_rounds = ceil_log2(n)
     np_ = 1 << num_rounds
@@ -341,7 +357,7 @@ def verify_inner_product(
             (-pow(x * x % ORDER, -1, ORDER)) % ORDER for x in x_vec
         ]
 
-    b_arr = _mont_from_ints(b_ints, n)
+    b_arr = _mont_from_rows(b_rows, n)
     prod_check = S.to_ints(
         S.inner_product(g_exp_arr[:, :n], b_arr, n)[..., None]
     )[0]
