@@ -406,12 +406,11 @@ def prove_sumcheck(
             v = v * f.r % f.modulus
         return v.to_bytes(32, "little")
 
-    # mles: n x num_mles column-major FIELD
+    # mles: n x num_mles column-major FIELD — passed through as byte rows
+    # (prove_sum converts on device; scalar25519 bytes are standard-form,
+    # fieldgk bytes are Montgomery residues, both handled by the codec)
     raw = _read(mles_addr, 32 * n * num_mles)
-    mles = [
-        [elem_from_bytes(raw[32 * (m * n + i) : 32 * (m * n + i) + 32]) for i in range(n)]
-        for m in range(num_mles)
-    ]
+    mles = np.frombuffer(raw, np.uint8).reshape(num_mles, n, 32).copy()
     # product_table: {FIELD multiplier; unsigned product_length} -> 40 bytes
     traw = _read(product_table_addr, 40 * num_products)
     product_table = []

@@ -66,6 +66,17 @@ class _Scalar25519Codec(FieldCodec):
     def challenge_from_bytes(self, raw: bytes) -> int:
         return int.from_bytes(raw, "little") % self.field.modulus
 
+    def mles_to_device(self, rows: np.ndarray, n_pad: int):
+        """(num_mles, n, 32) uint8 ABI byte rows -> (nlimbs, num_mles,
+        n_pad) Montgomery array; scalar25519 ABI bytes are standard-form LE
+        values, reduced mod l on device (no per-element Python ints)."""
+        num_mles, n, nb = rows.shape
+        if n < n_pad:
+            rows = np.pad(rows, ((0, 0), (0, n_pad - n), (0, 0)))
+        flat = np.ascontiguousarray(rows.reshape(num_mles * n_pad, nb).T)
+        arr = self.field.from_bytes_le(jnp.asarray(flat))
+        return arr.reshape(self.field.nlimbs, num_mles, n_pad)
+
 
 class _FieldGkCodec(FieldCodec):
     """Grumpkin base field: raw Montgomery limb bytes in, R^-2-twisted
@@ -78,6 +89,19 @@ class _FieldGkCodec(FieldCodec):
     def challenge_from_bytes(self, raw: bytes) -> int:
         rinv = pow(self.field.r, -1, self.field.modulus)
         return int.from_bytes(raw, "little") * rinv * rinv % self.field.modulus
+
+    def mles_to_device(self, rows: np.ndarray, n_pad: int):
+        """fieldgk ABI bytes ARE canonical Montgomery residues, so loading
+        is a pure limb-width reinterpretation."""
+        from ..utils import limbs as limb_util
+
+        num_mles, n, nb = rows.shape
+        if n < n_pad:
+            rows = np.pad(rows, ((0, 0), (0, n_pad - n), (0, 0)))
+        l16 = limb_util.bytes_le_to_limbs(
+            rows.reshape(num_mles * n_pad, nb), self.field.nlimbs
+        )
+        return jnp.asarray(l16).reshape(self.field.nlimbs, num_mles, n_pad)
 
 
 SCALAR25519_CODEC = _Scalar25519Codec("scalar25519", params.SCALAR25519)
@@ -285,8 +309,6 @@ def prove_sum(
     assert n > 0
     num_variables = max(ceil_log2(n), 1)
     n_pad = 1 << num_variables
-    mles = [[int(v) % field.modulus for v in row] for row in mles]
-    num_mles = len(mles)
     degree = max(num_terms for _, num_terms in product_table)
     assert degree <= MAX_DEGREE
     budget = (
@@ -295,10 +317,23 @@ def prove_sum(
         else _device_budget_elements()
     )
 
-    flat: list[int] = []
-    for row in mles:
-        assert len(row) == n
-        flat.extend(row + [0] * (n_pad - n))
+    if (
+        isinstance(mles, np.ndarray)
+        and mles.dtype == np.uint8
+        and mles.ndim == 3
+    ):
+        # (num_mles, n, 32) ABI byte rows: vectorized device-side conversion
+        num_mles = mles.shape[0]
+        assert mles.shape[1] == n
+        full = codec.mles_to_device(mles, n_pad)
+    else:
+        mles = [[int(v) % field.modulus for v in row] for row in mles]
+        num_mles = len(mles)
+        flat: list[int] = []
+        for row in mles:
+            assert len(row) == n
+            flat.extend(row + [0] * (n_pad - n))
+        full = field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
     mults = field.from_ints([m for m, _ in product_table])
     terms_struct = _structure(product_table, product_terms)
 
@@ -311,11 +346,10 @@ def prove_sum(
     arr_host = None
     arr = None
     if num_mles * n_pad > budget:
-        arr_host = np.asarray(
-            field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
-        )
+        arr_host = np.asarray(full)
+        del full
     else:
-        arr = field.from_ints(flat).reshape(field.nlimbs, num_mles, n_pad)
+        arr = full
 
     while arr_host is not None:
         # streamed rounds: chunk pairs (lo, hi) -> partial coeff sums

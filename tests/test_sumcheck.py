@@ -153,6 +153,37 @@ def test_chunked_matches_resident():
     assert eval_chk == eval_res
 
 
+@pytest.mark.parametrize(
+    "codec", [sc.SCALAR25519_CODEC, sc.FIELDGK_CODEC], ids=lambda c: c.name
+)
+def test_byte_rows_fast_path_matches_int_path(codec):
+    """The ABI byte-row MLE input (capi path, vectorized device conversion)
+    must match the python-int input bit-for-bit. scalar25519 bytes are
+    standard-form LE; fieldgk bytes are Montgomery residues (the reference's
+    transcript quirk, transcript_utility.cc:33-37)."""
+    n = 6
+    mles, product_table, product_terms, m = _problem(n, 3, codec, seed=31)
+    f = codec.field
+    rows = np.zeros((len(mles), n, 32), np.uint8)
+    for mi, row in enumerate(mles):
+        for i, v in enumerate(row):
+            if codec is sc.FIELDGK_CODEC:
+                v = v % m * f.r % m  # ABI carries Montgomery residues
+            rows[mi, i] = np.frombuffer(
+                int(v % (1 << 256)).to_bytes(32, "little"), np.uint8
+            )
+    polys_int, eval_int = sc.prove_sum(
+        sc.ReferenceSumcheckTranscript(Transcript(b"test"), codec),
+        mles, product_table, product_terms, n, codec,
+    )
+    polys_bytes, eval_bytes = sc.prove_sum(
+        sc.ReferenceSumcheckTranscript(Transcript(b"test"), codec),
+        rows, product_table, product_terms, n, codec,
+    )
+    assert polys_bytes == polys_int
+    assert eval_bytes == eval_int
+
+
 def test_callback_transcript():
     codec = sc.SCALAR25519_CODEC
     n = 2
