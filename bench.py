@@ -77,7 +77,12 @@ def main():
     encoded = np.asarray(rst.encode(out)).T  # sanity: encodable output
     assert encoded.shape == (NUM_OUTPUTS, 32)
 
-    baseline = os.environ.get("BLITZAR_TPU_BASELINE_PPS")
+    # default baseline: the round-1 driver-captured number (BENCH_r01.json,
+    # 8.64M pts/s) so vs_baseline tracks progress across rounds; the
+    # reference publishes no numeric tables (BASELINE.md)
+    baseline = os.environ.get("BLITZAR_TPU_BASELINE_PPS") or (
+        "8640000" if LOG_N == 20 and NUM_OUTPUTS == 1 else None
+    )
     result = {
         "metric": f"ristretto255_fixed_msm_2^{LOG_N}x{NUM_OUTPUTS}_points_per_s",
         "value": round(pps, 1),
