@@ -316,13 +316,23 @@ def msm(points, data_list, nbytes_list, signed_list, curve=ed):
             return _fixed.streaming_multiexponentiation(
                 points, scalars, curve, signs=signs if any_signed else None
             )
-        if n <= SMALL_N_MAX and not _handle_cached(points, n, curve):
+        from ..ops import pallas_point as _pp
+
+        small_env = _os.environ.get("BLITZAR_TPU_SMALL_MSM")
+        use_small = (
+            small_env == "stream"
+            or (small_env != "handle" and _pp.use_pallas())
+        )
+        if use_small and n <= SMALL_N_MAX and not _handle_cached(points, n, curve):
             # small-n low-latency path (reference keeps a dedicated engine
             # for 256 <= n <= 4096, bucket_method2/multiexponentiation.h:
             # 87-121): a fresh small generator set takes ONE fused
             # build+query dispatch (cached-form tables, no inversion, no
             # persistent handle) instead of paying a w=8 table build.
             # n pads to a power of two to bound shape-specialized compiles.
+            # TPU-only by default (BLITZAR_TPU_SMALL_MSM=stream|handle
+            # overrides): its win is dispatch latency + skipping the niels
+            # build, which XLA:CPU does not care about.
             n_pad = 8
             while n_pad < n:
                 n_pad *= 2
