@@ -114,6 +114,21 @@ def test_random_problems():
 def test_skewed_buckets_multiround():
     # all scalars identical: one bucket holds every point -> multiple
     # while-loop rounds with tiny capacity
+    #
+    # NOTE: persistent-cache serialization of this sort+while_loop program
+    # aborts XLA:CPU on some hosts (CHECK failure inside
+    # put_executable_and_time) — compile it uncached.
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        _run_skewed_buckets()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
+def _run_skewed_buckets():
     n = 33
     rows = np.full((n, 1), 7, dtype=np.uint8)
     digits = engine.digit_decompose(jnp.asarray(rows[None]))
