@@ -158,6 +158,39 @@ def decompress_ristretto255(data: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
+def _checks_enabled() -> bool:
+    """BLITZAR_TPU_CHECKS=1 turns on runtime result validation (on-curve
+    checks after every MSM) — the sanitizer-equivalent test mode (the
+    reference runs its suite under ASAN and compute-sanitizer,
+    .bazelrc:30-60, tools/cuda/compute_sanitizer_wrapper.sh; tools/ci.sh
+    runs a pass with this set)."""
+    return os.environ.get("BLITZAR_TPU_CHECKS", "") not in ("", "0")
+
+
+def _validate_descriptors(descriptors):
+    """Reference release asserts (cbindings/pedersen.cc:44-69) plus the
+    documented signed-width contract (multiexp/base/exponent_sequence.h:40:
+    if signed, element_nbytes must be <= 16)."""
+    for d in descriptors:
+        if not 1 <= int(d.element_nbytes) <= 32:
+            raise ValueError(
+                f"element_nbytes must be in [1, 32], got {d.element_nbytes}"
+            )
+        if d.is_signed and int(d.element_nbytes) > 16:
+            raise ValueError(
+                "signed sequences require element_nbytes <= 16 "
+                f"(got {d.element_nbytes})"
+            )
+        if int(d.n) > 0 and d.data is None:
+            raise ValueError("nonempty sequence with null data")
+
+
+def _check_result(curve, result):
+    if _checks_enabled():
+        ok = np.asarray(curve.is_on_curve(result))
+        assert ok.all(), f"MSM result off curve at outputs {np.nonzero(~ok)[0]}"
+
+
 def compute_curve25519_commitments(
     descriptors, generators: ed.PointP3 | None = None, generators_offset: int = 0
 ) -> np.ndarray:
@@ -170,6 +203,7 @@ def compute_curve25519_commitments(
     descriptors = list(descriptors)
     if not descriptors:
         return np.zeros((0, 32), dtype=np.uint8)
+    _validate_descriptors(descriptors)
     n_max = max(d.n for d in descriptors)
     if generators is None:
         generators = _gen.get_precomputed_generators(n_max, generators_offset)
@@ -180,6 +214,7 @@ def compute_curve25519_commitments(
         result = _sharded.msm(_BACKEND.mesh, generators, data_list, nbytes_list, signed_list)
     else:
         result = _engine.msm(generators, data_list, nbytes_list, signed_list)
+    _check_result(ed, result)
     return compress_ristretto255(result)
 
 
@@ -188,14 +223,18 @@ def _generic_commitments(descriptors, generators, curve):
     descriptors = list(descriptors)
     if not descriptors:
         return curve.identity((0,))
+    _validate_descriptors(descriptors)
     data_list = [d.rows() for d in descriptors]
     nbytes_list = [d.element_nbytes for d in descriptors]
     signed_list = [bool(d.is_signed) for d in descriptors]
     if _BACKEND.mesh is not None and _BACKEND.mesh.size > 1:
-        return _sharded.msm(
+        result = _sharded.msm(
             _BACKEND.mesh, generators, data_list, nbytes_list, signed_list, curve=curve
         )
-    return _engine.msm(generators, data_list, nbytes_list, signed_list, curve=curve)
+    else:
+        result = _engine.msm(generators, data_list, nbytes_list, signed_list, curve=curve)
+    _check_result(curve, result)
+    return result
 
 
 def _affine_struct(curve, points):

@@ -235,6 +235,24 @@ def cneg(p: PointP3, cond) -> PointP3:
     return PointP3(F.cneg(p.x, cond), p.y, p.z, F.cneg(p.t, cond))
 
 
+def is_identity(p: PointP3):
+    """Per-lane identity test: X == 0 and Y == Z (reference
+    curve21/property/identity.cc)."""
+    return F.is_zero(p.x) & F.eq(p.y, p.z)
+
+
+def is_on_curve(p: PointP3):
+    """Per-lane curve-membership test in homogeneous coordinates
+    ((Y^2 - X^2) * Z^2 == Z^4 + d * X^2 * Y^2, reference
+    curve21/property/curve.cc), plus the extended-coordinate invariant
+    X*Y == Z*T that the p3 representation carries."""
+    x2, y2, z2 = F.sq(p.x), F.sq(p.y), F.sq(p.z)
+    lhs = F.mul(F.sub(y2, x2), z2)
+    rhs = F.add(F.sq(z2), F.mul_const(F.mul(x2, y2), _D_INT))
+    t_ok = F.eq(F.mul(p.x, p.y), F.mul(p.z, p.t))
+    return F.eq(lhs, rhs) & t_ok
+
+
 def select(p: PointP3, q: PointP3, cond) -> PointP3:
     """Pointwise select: q where cond else p."""
     return PointP3(

@@ -61,3 +61,35 @@ def test_double_init_raises():
     api.init()
     with pytest.raises(RuntimeError):
         api.init()
+
+
+def test_descriptor_validation():
+    # reference pedersen.cc:55 release asserts + the signed-width contract
+    # (exponent_sequence.h:40: if signed, element_nbytes must be <= 16)
+    api.init()
+    data = np.zeros(33, np.uint8)
+    with pytest.raises(ValueError):
+        api.compute_curve25519_commitments(
+            [api.SequenceDescriptor(33, 1, data)]
+        )
+    with pytest.raises(ValueError):
+        api.compute_curve25519_commitments(
+            [api.SequenceDescriptor(0, 1, data)]
+        )
+    with pytest.raises(ValueError):
+        api.compute_curve25519_commitments(
+            [api.SequenceDescriptor(32, 1, data[:32], is_signed=True)]
+        )
+
+
+def test_checks_mode_on_curve(monkeypatch):
+    # BLITZAR_TPU_CHECKS=1: results validated on-curve after every MSM
+    # (the sanitizer-equivalent test mode; tools/ci.sh runs a pass with it)
+    monkeypatch.setenv("BLITZAR_TPU_CHECKS", "1")
+    api.init()
+    data = np.frombuffer((7).to_bytes(2, "little") + (9).to_bytes(2, "little"), np.uint8)
+    got = api.compute_curve25519_commitments([api.SequenceDescriptor(2, 2, data)])
+    want = R.ristretto_encode(
+        R.naive_msm([7, 9], [R.compute_base_element(0), R.compute_base_element(1)])
+    )
+    assert bytes(got[0]) == want

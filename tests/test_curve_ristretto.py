@@ -91,3 +91,17 @@ def test_one_commitments():
     for p in ORACLE_PTS[:5]:
         acc = R.pt_add(acc, p)
     assert encode_np(total) == [R.ristretto_encode(acc)]
+
+
+def test_property_checks():
+    # reference curve21/property/{curve,identity}.cc
+    pts = to_point(ORACLE_PTS)
+    assert np.asarray(ed.is_on_curve(pts)).all()
+    assert not np.asarray(ed.is_identity(pts)).any()
+    ident = ed.identity((3,))
+    assert np.asarray(ed.is_identity(ident)).all()
+    assert np.asarray(ed.is_on_curve(ident)).all()
+    # corrupt one coordinate -> off curve
+    bad = ed.PointP3(F.add(pts.x, F.from_int_const(1, pts.batch_shape)),
+                     pts.y, pts.z, pts.t)
+    assert not np.asarray(ed.is_on_curve(bad)).any()

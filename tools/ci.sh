@@ -20,7 +20,7 @@ OUT=$(mktemp -d)
 cbindings/build.sh "$OUT"
 python tests/capi_driver.py "$OUT/libblitzar_tpu.so" "$PWD"
 
-echo "== checks mode (jax_enable_checks) =="
-JAX_ENABLE_CHECKS=1 python -m pytest tests/test_limbs.py tests/test_msm.py -q
+echo "== checks mode (jax_enable_checks + on-curve result validation) =="
+JAX_ENABLE_CHECKS=1 BLITZAR_TPU_CHECKS=1 python -m pytest tests/test_limbs.py tests/test_msm.py tests/test_api.py -q
 
 echo "CI_OK"
