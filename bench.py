@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
+# honor JAX_PLATFORMS through jax.config: the axon sitecustomize backend
+# hook ignores the env var and would hang dialing the tunnel when it is down
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# honor JAX_PLATFORMS through jax.config: the axon sitecustomize backend
+# hook ignores the env var and would hang dialing the tunnel when it is down
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -285,6 +289,34 @@ def bench_streaming(log_ns, samples):
         _emit("streaming_msm", {"n": n}, dt, work=n)
 
 
+def bench_memory(samples):
+    """Host<->device transfer bandwidth (reference benchmark/memory/copy.m.cc:
+    chunked pinned-buffer H2D copies). On the tunnel platform this measures
+    the link; on a local chip, PCIe/DMA."""
+    sizes_mb = [1, 8, 64]
+    for mb in sizes_mb:
+        nbytes = mb << 20
+        host = np.random.default_rng(7).integers(
+            0, 256, size=(nbytes,), dtype=np.uint8
+        )
+
+        def h2d():
+            dev = jnp.asarray(host)
+            _sync(dev[:1])
+
+        dt = _time(h2d, samples)
+        _emit("memory_h2d", {"mb": mb}, dt, work=nbytes)
+
+        dev = jnp.asarray(host)
+        _sync(dev[:1])
+
+        def d2h():
+            np.asarray(dev)
+
+        dt = _time(d2h, samples)
+        _emit("memory_d2h", {"mb": mb}, dt, work=nbytes)
+
+
 def bench_primitives(samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.curves import edwards25519 as ed
@@ -319,7 +351,7 @@ def main():
         default="pedersen",
         choices=[
             "pedersen", "fixed", "vlen", "ipa", "sumcheck", "primitives",
-            "setup", "signed", "streaming", "baseline", "all",
+            "setup", "signed", "streaming", "memory", "baseline", "all",
         ],
     )
     parser.add_argument("--samples", type=int, default=3)
@@ -351,6 +383,8 @@ def main():
             bench_signed(14 if args.quick else 20, args.samples)
         elif suite == "streaming":
             bench_streaming([16] if args.quick else [21, 24], args.samples)
+        elif suite == "memory":
+            bench_memory(args.samples)
         elif suite == "baseline":
             # every BASELINE.md target row in one run (TPU hardware)
             bench_setup([20], args.samples)
