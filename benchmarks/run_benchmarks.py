@@ -246,7 +246,7 @@ def bench_signed(log_n, samples):
     n = 1 << log_n
     points = gen.ristretto_generators(n)
     rng = np.random.default_rng(5)
-    data_u = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    data_u = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
     data_s = data_u.copy()
 
     def run_u():
@@ -307,11 +307,12 @@ def bench_memory(samples):
         dt = _time(h2d, samples)
         _emit("memory_h2d", {"mb": mb}, dt, work=nbytes)
 
-        dev = jnp.asarray(host)
-        _sync(dev[:1])
+        # jax caches an array's host copy after the first D2H — use a fresh
+        # device array per timed sample so every call really crosses the link
+        devs = iter([jnp.asarray(host) for _ in range(samples + 1)])
 
         def d2h():
-            np.asarray(dev)
+            np.asarray(next(devs))
 
         dt = _time(d2h, samples)
         _emit("memory_d2h", {"mb": mb}, dt, work=nbytes)

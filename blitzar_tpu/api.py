@@ -188,7 +188,10 @@ def _validate_descriptors(descriptors):
 def _check_result(curve, result):
     if _checks_enabled():
         ok = np.asarray(curve.is_on_curve(result))
-        assert ok.all(), f"MSM result off curve at outputs {np.nonzero(~ok)[0]}"
+        if not ok.all():
+            raise RuntimeError(
+                f"MSM result off curve at outputs {np.nonzero(~ok)[0]}"
+            )
 
 
 def compute_curve25519_commitments(

@@ -253,13 +253,26 @@ def decompress_bls12_381(data: np.ndarray):
     want_largest = (flags & 0b0010_0000) != 0
     xb = data.copy()
     xb[:, 0] &= 0b0001_1111
+    # canonicality (zkcrypto G1Affine::from_compressed semantics; the
+    # reference only implements the compress direction,
+    # curve_g1/operation/compression.cc): the x payload must be < p, and an
+    # infinity encoding must carry a clear sort bit and an all-zero payload
+    p_be = np.frombuffer(ref.BLS12381_P.to_bytes(48, "big"), np.uint8)
+    diff = xb.astype(np.int16) - p_be.astype(np.int16)
+    nz = diff != 0
+    first = np.argmax(nz, axis=1)
+    x_lt_p = np.where(
+        nz.any(axis=1), diff[np.arange(xb.shape[0]), first] < 0, False
+    )
+    x_zero = (xb == 0).all(axis=1)
+    canonical = np.where(inf, ~want_largest & x_zero, x_lt_p)
     x_le = np.ascontiguousarray(xb[:, ::-1].T)  # (48, n) little-endian
     F = BLS12381_G1.field
     x_mont = F.from_bytes_le(jnp.asarray(x_le))
     x_out, y_out, z_out, valid = _bls_decompress_jit(
         x_mont, jnp.asarray(want_largest), jnp.asarray(inf)
     )
-    valid = np.asarray(valid) & compressed
+    valid = np.asarray(valid) & compressed & canonical
     return PointP2(x_out, y_out, z_out), valid
 
 

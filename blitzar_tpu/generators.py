@@ -160,6 +160,10 @@ class _GeneratorCache:
     def __init__(self):
         self.points: ed.PointP3 | None = None
         self.count = 0
+        # memoized slices: identical (offset, n) requests return the SAME
+        # array object, so identity-keyed caches downstream (the MSM handle
+        # cache, msm/engine.py) hit across calls
+        self._slices: dict[tuple[int, int], ed.PointP3] = {}
 
     def get(self, n: int, offset: int = 0) -> ed.PointP3:
         end = offset + n
@@ -167,11 +171,20 @@ class _GeneratorCache:
             grow_to = max(end, 2 * self.count)
             self.points = ristretto_generators(grow_to)
             self.count = grow_to
-        return ed.index_batch(self.points, (slice(offset, end),))
+            self._slices.clear()
+        key = (offset, end)
+        sl = self._slices.get(key)
+        if sl is None:
+            sl = ed.index_batch(self.points, (slice(offset, end),))
+            if len(self._slices) > 16:
+                self._slices.clear()
+            self._slices[key] = sl
+        return sl
 
     def reset(self):
         self.points = None
         self.count = 0
+        self._slices.clear()
 
 
 CACHE = _GeneratorCache()

@@ -257,6 +257,22 @@ _HANDLE_CACHE_SLOTS = 4
 # bucket_method2 caps at 128*32 = 4096, bucket_method2/constants.h:23)
 SMALL_N_MAX = 4096
 
+# point arrays seen ONCE by the small-n path: a second MSM over the same
+# live generator array promotes it to a cached w=8 handle (repeat-call
+# workloads then skip both the streamed build and the handle build)
+_SMALL_SEEN: list = []
+_SMALL_SEEN_SLOTS = 8
+
+
+def _small_seen_before(points) -> bool:
+    for e in _SMALL_SEEN:
+        if e is points.x:
+            return True
+    _SMALL_SEEN.append(points.x)
+    if len(_SMALL_SEEN) > _SMALL_SEEN_SLOTS:
+        _SMALL_SEEN.pop(0)
+    return False
+
 
 def _handle_cached(points, n, curve) -> bool:
     return any(
@@ -323,7 +339,12 @@ def msm(points, data_list, nbytes_list, signed_list, curve=ed):
             small_env == "stream"
             or (small_env != "handle" and _pp.use_pallas())
         )
-        if use_small and n <= SMALL_N_MAX and not _handle_cached(points, n, curve):
+        if (
+            use_small
+            and n <= SMALL_N_MAX
+            and not _handle_cached(points, n, curve)
+            and not _small_seen_before(points)
+        ):
             # small-n low-latency path (reference keeps a dedicated engine
             # for 256 <= n <= 4096, bucket_method2/multiexponentiation.h:
             # 87-121): a fresh small generator set takes ONE fused

@@ -82,9 +82,14 @@ def global_mesh2d(outputs: int | None = None):
     from ..msm import sharded
 
     devices = jax.devices()
+    explicit = outputs is not None
     if outputs is None:
         outputs = max(jax.process_count(), 1)
     if len(devices) % outputs:
+        if explicit:
+            raise ValueError(
+                f"outputs={outputs} does not divide device count {len(devices)}"
+            )
         outputs = 1
     per = len(devices) // outputs
     # order devices so each outputs-row is one process's devices (keeps the

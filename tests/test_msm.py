@@ -142,3 +142,22 @@ def _run_skewed_buckets():
     )
     want = R.ristretto_encode(R.naive_msm([7] * n, ORACLE_GENS[:n]))
     assert encode_np(got) == [want]
+
+
+def test_small_n_promotes_to_cached_handle(monkeypatch):
+    # the small-n streamed path runs a fresh generator set once; a SECOND
+    # msm over the same live array must promote to a cached w=8 handle so
+    # repeat-call workloads become query-only
+    monkeypatch.setenv("BLITZAR_TPU_SMALL_MSM", "stream")
+    pts = gen.ristretto_generators(16)
+    engine._SMALL_SEEN.clear()
+    engine._HANDLE_CACHE.clear()
+    data = [np.arange(16, dtype=np.uint8).reshape(16, 1)]
+    first = encode_np(engine.msm(pts, data, [1], [False]))
+    assert not engine._handle_cached(pts, 16, ed)
+    second = encode_np(engine.msm(pts, data, [1], [False]))
+    assert engine._handle_cached(pts, 16, ed)
+    third = encode_np(engine.msm(pts, data, [1], [False]))
+    assert first == second == third
+    want = R.ristretto_encode(R.naive_msm(list(range(16)), ORACLE_GENS[:16]))
+    assert first == [want]

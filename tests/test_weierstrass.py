@@ -106,3 +106,37 @@ def test_bls12_381_compression_vs_oracle():
     expect_valid = _sqrt_mod(5**3 + 4, BLS12381_P) is not None
     _, valid2 = wc.decompress_bls12_381(bad)
     assert bool(valid2[0]) == expect_valid
+
+
+def test_bls12_381_decompress_rejects_noncanonical():
+    # zkcrypto G1Affine::from_compressed canonicality: x >= p, infinity with
+    # a set sort bit, and infinity with a nonzero payload are all invalid
+    from blitzar_tpu.refimpl.weierstrass import BLS12381_P
+
+    curve = wc.BLS12381_G1
+    pt = curve.oracle.random_points(1, seed=9)[0]
+    good = wc.compress_bls12_381(curve.from_affine_ints([pt]))
+
+    # x' = x + p: same point mod p but non-canonical bytes
+    x_plus_p = pt[0] + BLS12381_P
+    assert x_plus_p < 1 << 381
+    noncanon = np.frombuffer(x_plus_p.to_bytes(48, "big"), np.uint8).copy()
+    noncanon[0] |= good[0, 0] & 0b1110_0000  # copy the original flag bits
+    _, v = wc.decompress_bls12_381(noncanon[None])
+    assert not v[0]
+
+    inf_bad_sort = np.zeros((1, 48), np.uint8)
+    inf_bad_sort[0, 0] = 0b1110_0000  # compressed + infinity + sort
+    _, v = wc.decompress_bls12_381(inf_bad_sort)
+    assert not v[0]
+
+    inf_bad_payload = np.zeros((1, 48), np.uint8)
+    inf_bad_payload[0, 0] = 0b1100_0000
+    inf_bad_payload[0, 47] = 1  # nonzero x payload
+    _, v = wc.decompress_bls12_381(inf_bad_payload)
+    assert not v[0]
+
+    inf_ok = np.zeros((1, 48), np.uint8)
+    inf_ok[0, 0] = 0b1100_0000
+    pts, v = wc.decompress_bls12_381(inf_ok)
+    assert v[0] and curve.to_affine_ints(pts) == [None]
