@@ -24,6 +24,33 @@ import numpy as np
 # hook ignores the env var and would hang dialing the tunnel when it is down
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+else:
+    # No platform pinned: probe the TPU tunnel in a SUBPROCESS with a hard
+    # timeout (backend init blocks inside C when the tunnel is down, so an
+    # in-process attempt could never be recovered) and fall back to cpu so
+    # this script always completes and prints its JSON line.
+    import subprocess
+
+    probe_s = float(os.environ.get("BLITZAR_TPU_BENCH_PROBE_S", "150"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=probe_s,
+            capture_output=True,
+        )
+        tpu_ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
+    if not tpu_ok:
+        print(
+            "bench.py: TPU tunnel unreachable within "
+            f"{probe_s:.0f}s, falling back to cpu",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+        # cpu at the TPU default shape would take hours; shrink unless the
+        # caller pinned shapes explicitly
+        os.environ.setdefault("BLITZAR_TPU_BENCH_LOG_N", "14")
 jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -46,6 +46,20 @@ _level = os.environ.get("BLITZAR_TPU_LOG_LEVEL", "error").upper()
 log.setLevel(getattr(logging, _level, logging.ERROR))
 
 
+def _enable_compile_cache():
+    """Point jax at a persistent compilation cache unless the host already
+    configured one. The limb-arithmetic programs are large (minutes of XLA
+    compile per curve); the cache is the cross-process analog of the
+    reference's PTX-JIT warm-up (gpu_backend.cc:80-101). Opt out with
+    BLITZAR_TPU_COMPILE_CACHE="" (empty)."""
+    cache_dir = os.environ.get(
+        "BLITZAR_TPU_COMPILE_CACHE", "/tmp/blitzar_tpu_jax_cache"
+    )
+    if cache_dir and jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 @dataclasses.dataclass
 class SequenceDescriptor:
     """Mirror of sxt_sequence_descriptor (reference blitzar_api.h:115-136)."""
@@ -93,6 +107,7 @@ def init(backend: str = "auto", num_precomputed_generators: int = 0, mesh=None):
         backend = "cpu" if jax.default_backend() == "cpu" else "tpu"
     if backend not in ("cpu", "tpu", "gpu"):
         raise ValueError(f"unknown backend {backend!r}")
+    _enable_compile_cache()
     _BACKEND.kind = backend
     if mesh is not None:
         _BACKEND.mesh = mesh

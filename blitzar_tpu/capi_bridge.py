@@ -23,6 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import api
+
+# the embedded interpreter starts with a virgin jax config: point it at the
+# persistent compilation cache up front so every native consumer process
+# amortizes the minutes-long XLA compiles (api.init also does this, but the
+# bridge may service getter calls before sxt_init-driven jit use)
+api._enable_compile_cache()
 from . import generators as _gen
 from .curves import edwards25519 as ed
 from .curves import weierstrass as wc
