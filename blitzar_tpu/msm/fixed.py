@@ -304,6 +304,13 @@ class MultiexpHandle:
         self.n = int(n if n is not None else points.x.shape[-1])
         w = self.window_width
         n_pad = -(-max(self.n, 1) // w) * w
+        # round groups up to the fused build kernel's tile (identity padding
+        # is free at query time: padded scalars are zero -> table entry 0)
+        from ..ops import pallas_point as pp
+
+        if pp.use_pallas() and w <= 8:
+            tile = w * pp._build_bg(w)
+            n_pad = -(-n_pad // tile) * tile
         if points.x.shape[-1] < n_pad:
             pad = curve.identity((n_pad - points.x.shape[-1],))
             points = curve.make_point(

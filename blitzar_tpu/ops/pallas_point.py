@@ -693,9 +693,15 @@ def w_lookup_msm(curve, t_flat, idx, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 BUILD_BG = 8  # generator groups per grid step: the in-flight extended
-# table (4 coords x (nl, bg, 2^w) u32 = 8.4 MB at w=8) plus scan temps must
-# fit ~16 MB VMEM; input blocks are (nl, bg*w) 2-D (sub-128 minor, padded
-# by Mosaic — they are only 4 KB)
+# table (4 coords x (nl, bg, 2^w) u32 = 2.1 MB at w=8) plus add/scan temps
+# must fit ~16 MB VMEM. Inputs are 3-D (nl, G, w) so each block is
+# (nl, bg, w) with the minor dim equal to the full array dim — the only
+# shape Mosaic accepts for a sub-128 lane count (and it avoids any
+# in-kernel lane reshape, which Mosaic cannot lower).
+
+
+def _build_bg(w: int) -> int:
+    return BUILD_BG
 
 
 def _lane_batch_invert(z, v_dim: int, field):
@@ -759,9 +765,7 @@ def _ed_build_body_factory(w: int, bg: int, form: str, out_dtype):
 
     def body(px, py, pz, pt, out_ref):
         with F.diag_mode():
-            # refs are (nl, bg*w) blocks (keeps the Mosaic block minor dim
-            # 128-aligned); split lanes into (bg, w) in-register
-            pts = [r[:].reshape(nl, bg, w) for r in (px, py, pz, pt)]
+            pts = [r[:] for r in (px, py, pz, pt)]  # (nl, bg, w) blocks
             x, y, z, t = _subset_double_concat(ed, pts, w, bg)
             if form == "niels":
                 zinv = _lane_batch_invert(z, v_dim, F)
@@ -787,7 +791,7 @@ def _w_build_body_factory(curve, w: int, bg: int, out_dtype):
 
     def body(px, py, pz, out_ref):
         with _mont.diag_mode():
-            pts = [r[:].reshape(nl, bg, w) for r in (px, py, pz)]
+            pts = [r[:] for r in (px, py, pz)]  # (nl, bg, w) blocks
             coords = _subset_double_concat(curve, pts, w, bg)
             out_ref[:] = _byte_split_stack(coords, out_dtype)
 
@@ -798,12 +802,12 @@ def _w_build_body_factory(curve, w: int, bg: int, out_dtype):
     jax.jit, static_argnames=("curve", "w", "form", "out_dtype", "interpret")
 )
 def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: bool):
-    """coords: ncoord x (nl, G*w) -> (G, 2L, V) byte-split table."""
+    """coords: ncoord x (nl, G, w) -> (G, 2L, V) byte-split table."""
     from ..curves import edwards25519 as ed
 
     nl = curve.nlimbs
-    groups = coords[0].shape[1] // w
-    bg = BUILD_BG
+    groups = coords[0].shape[1]
+    bg = _build_bg(w)
     if curve is ed:
         ncoord_out = 3 if form == "niels" else 4
         body = _ed_build_body_factory(w, bg, form, out_dtype)
@@ -812,8 +816,9 @@ def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: b
         body = _w_build_body_factory(curve, w, bg, out_dtype)
     l2 = 2 * ncoord_out * nl
     v_dim = 1 << w
-    # coords arrive (nl, G*w); blocks are (nl, bg*w) = (nl, 128)-aligned
-    in_spec = pl.BlockSpec((nl, bg * w), lambda i: (0, i))
+    # coords arrive (nl, G, w); blocks are (nl, bg, w) — minor dim equals
+    # the array dim (Mosaic's allowance for sub-128 lanes)
+    in_spec = pl.BlockSpec((nl, bg, w), lambda i: (0, i, 0))
     out_spec = pl.BlockSpec((bg, l2, v_dim), lambda i: (i, 0, 0))
     return pl.pallas_call(
         body,
@@ -827,15 +832,16 @@ def _build_split_tiled(coords, curve, w: int, form: str, out_dtype, interpret: b
 
 def build_split_fits(groups: int, w: int) -> bool:
     # per-block VMEM: extended table coords 4*(nl*bg*V)*4B plus add/scan
-    # temps — w <= 8 with bg = 16 stays a few MB; wider windows would blow
+    # temps — w <= 8 with bg = 8 stays a few MB; wider windows would blow
     # VMEM
-    return w <= 8 and groups >= BUILD_BG and groups % BUILD_BG == 0
+    bg = _build_bg(w)
+    return w <= 8 and groups >= bg and groups % bg == 0
 
 
 def build_split_table(points, w: int, curve, form: str, out_dtype, interpret=False):
     """points: curve batch (n,), n = G*w -> (G, 2L, V) split table, one
     fused kernel (see header comment above)."""
-    coords = [c.reshape(curve.nlimbs, -1) for c in points]
+    coords = [c.reshape(curve.nlimbs, -1, w) for c in points]
     return _build_split_tiled(coords, curve, w, form, out_dtype, interpret)
 
 
