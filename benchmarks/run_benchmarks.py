@@ -107,6 +107,7 @@ def bench_fixed(ns, curves, samples):
                 points = curve.make_point(
                     *(jnp.tile(c, (1, reps))[:, :n] for c in points)
                 )
+            handle = None  # free the previous curve's table before building
             handle = fixed.MultiexpHandle(points, curve=curve, n=n)
             scalars = rng.integers(0, 256, size=(1, n, 32), dtype=np.uint8)
 
@@ -115,7 +116,33 @@ def bench_fixed(ns, curves, samples):
                 _sync(out.x[:, :1])
 
             dt = _time(run, samples)
-            _emit("fixed", {"curve": curve_name, "n": n}, dt, work=n)
+
+            # device-resident query (scalars pre-uploaded): isolates chip
+            # compute from the host link, matching bench.py / the reference's
+            # multi_exp_pip timing of device work
+            n_table = handle.num_groups * handle.window_width
+            sdev = jnp.asarray(
+                np.pad(scalars, ((0, 0), (0, n_table - n), (0, 0)))
+                if n < n_table
+                else scalars
+            )
+
+            def run_dev():
+                out = fixed._query_jit(
+                    handle.t_split, sdev, handle.window_width, 1, 256, curve
+                )
+                _sync(out.x[:, :1])
+
+            dt_dev = _time(run_dev, samples)
+            _emit(
+                "fixed",
+                {"curve": curve_name, "n": n, "device_s": round(dt_dev, 5),
+                 "device_per_second": round(n / dt_dev, 1),
+                 "window_width": handle.window_width},
+                dt,
+                work=n,
+            )
+            handle = None
 
 
 def bench_vlen(n, num_outputs, samples):

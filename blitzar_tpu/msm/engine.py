@@ -285,10 +285,11 @@ def _cached_handle(points, n, curve, _fixed):
         cached_x, cached_n, cached_curve, handle = entry
         if cached_x is points.x and cached_n == n and cached_curve is curve:
             return handle
-    # w=8 tables hold 2^8/8 = 32 bf16-split points per input point (~8.6 GB
-    # at n=2^20, which fits since the uint32 table is never materialized);
-    # larger n takes the streaming path before reaching here
-    handle = _fixed.MultiexpHandle(points, window_width=8, curve=curve, n=n)
+    # width chosen by table-memory budget (w=8 tables hold 2^8/8 = 32
+    # split points per input point — 6.4 GB at n=2^20 for curve25519, more
+    # for the wider Weierstrass fields); larger n takes the streaming path
+    # before reaching here
+    handle = _fixed.MultiexpHandle(points, curve=curve, n=n)
     _HANDLE_CACHE.append((points.x, n, curve, handle))
     if len(_HANDLE_CACHE) > _HANDLE_CACHE_SLOTS:
         _HANDLE_CACHE.pop(0)

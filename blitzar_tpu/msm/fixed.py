@@ -52,6 +52,33 @@ def default_window_width() -> int:
     return int(v) if v else 8
 
 
+def _split_l(curve) -> int:
+    """Per-entry value count L of the byte-split table (niels triple for
+    curve25519, projective coords for Weierstrass)."""
+    return (3 if curve is ed else curve.coord_count) * curve.nlimbs
+
+
+def auto_window_width(n: int, curve=ed) -> int:
+    """Largest window (<= the default) whose split table fits the HBM budget.
+
+    A w=8 table at n=2^20 is 2L*(2^8/8)*n values — 6.4 GB for curve25519
+    (L=48 bf16), 9.7 GB for bls12-381 (L=72). The reference sizes its window
+    by env only (pippenger2/window_width.cc:30-56) and streams table slices
+    from host RAM; here the table is device-resident, so the width must
+    respect device memory (the 10 GB default leaves query headroom on a
+    16 GB chip). Env overrides: BLITZAR_TPU_PARTITION_WINDOW_WIDTH pins the
+    width exactly; BLITZAR_TPU_TABLE_BUDGET_BYTES moves the budget."""
+    v = os.environ.get("BLITZAR_TPU_PARTITION_WINDOW_WIDTH")
+    if v:
+        return int(v)
+    budget = int(os.environ.get("BLITZAR_TPU_TABLE_BUDGET_BYTES", str(10 << 30)))
+    itemsize = 2 if jax.default_backend() == "tpu" else 4
+    w = 8
+    while w > 4 and (max(n, 1) / w) * (1 << w) * 2 * _split_l(curve) * itemsize > budget:
+        w //= 2
+    return w
+
+
 # group-chunk size for table building: bounds XLA temp memory (the
 # subset-doubling concats hold several copies of the chunk's table in
 # flight; small chunks keep the build program's peak near the output size)
@@ -243,12 +270,44 @@ def _build_split_table(points, window_width: int, curve=ed, form: str = "niels")
     n = points.x.shape[-1]
     groups = n // window_width
     if pp.use_pallas() and pp.build_split_fits(groups, window_width):
+        gc = _table_chunk_groups(groups)
+        if gc % pp._build_bg(window_width) == 0:
+            return _build_split_pallas(points, window_width, curve, form, gc)
         split = pp.build_split_table(
             points, window_width, curve, form, _table_dtype()
         )  # (G, 2L, V)
-        gc = _table_chunk_groups(groups)
         return split.reshape(groups // gc, gc, split.shape[-2], split.shape[-1])
     return _build_split_table_xla(points, window_width, curve, form)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_width", "curve", "form", "gc")
+)
+def _build_split_pallas(points, window_width: int, curve, form: str, gc: int):
+    """Chunked fused-Pallas build: lax.map over group chunks, each chunk one
+    pallas_call, results written straight into the pre-chunked (nc, gc, 2L, V)
+    table. Chunking matters for memory layout, not just peak scratch: the
+    kernel's (nl, groups, w) input blocks pad the minor w axis to the 128-lane
+    tile (16x HBM blowup at w=8, 32x at w=4 — enough to OOM the chip when
+    built whole at 2^20 for the 24-limb fields). Feeding the kernel flat
+    (nl, gc*w) chunk slices keeps the padded form chunk-sized and transient."""
+    from ..ops import pallas_point as pp
+
+    w = window_width
+    nl = curve.nlimbs
+    n = points.x.shape[-1]
+    groups = n // w
+    nc = groups // gc
+    dt = _table_dtype()
+    coords = [c.reshape(nl, nc, gc * w).swapaxes(0, 1) for c in points]
+
+    def chunk(cs):
+        cl = [c.reshape(nl, gc, w) for c in cs]
+        return pp._build_split_tiled(cl, curve, w, form, dt, False)  # (gc,2L,V)
+
+    if nc == 1:
+        return chunk([c[0] for c in coords])[None]
+    return lax.map(chunk, coords)  # (nc, gc, 2L, V)
 
 
 @functools.partial(jax.jit, static_argnames=("window_width", "curve", "form"))
@@ -300,8 +359,8 @@ class MultiexpHandle:
 
     def __init__(self, points, window_width: int | None = None, curve=ed, n: int | None = None):
         self.curve = curve
-        self.window_width = int(window_width or default_window_width())
         self.n = int(n if n is not None else points.x.shape[-1])
+        self.window_width = int(window_width or auto_window_width(self.n, curve))
         w = self.window_width
         n_pad = -(-max(self.n, 1) // w) * w
         # round groups up to the fused build kernel's tile (identity padding
