@@ -51,8 +51,9 @@ else:
         # cpu at the TPU default shape would take hours; shrink unless the
         # caller pinned shapes explicitly
         os.environ.setdefault("BLITZAR_TPU_BENCH_LOG_N", "14")
-jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from blitzar_tpu.utils.cache import configure as _configure_cache
+
+_configure_cache(jax.config, tag="bench")
 
 import jax.numpy as jnp
 

@@ -30,8 +30,9 @@ import jax
 # hook ignores the env var and would hang dialing the tunnel when it is down
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from blitzar_tpu.utils.cache import configure as _configure_cache
+
+_configure_cache(jax.config, tag="bench")
 
 import jax.numpy as jnp
 import numpy as np

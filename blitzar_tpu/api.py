@@ -52,9 +52,9 @@ def _enable_compile_cache():
     compile per curve); the cache is the cross-process analog of the
     reference's PTX-JIT warm-up (gpu_backend.cc:80-101). Opt out with
     BLITZAR_TPU_COMPILE_CACHE="" (empty)."""
-    cache_dir = os.environ.get(
-        "BLITZAR_TPU_COMPILE_CACHE", "/tmp/blitzar_tpu_jax_cache"
-    )
+    from .utils.cache import jax_cache_dir
+
+    cache_dir = os.environ.get("BLITZAR_TPU_COMPILE_CACHE", jax_cache_dir())
     if cache_dir and jax.config.jax_compilation_cache_dir is None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

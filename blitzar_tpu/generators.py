@@ -10,6 +10,8 @@ uint64); the elligator map and point addition run batched on device.
 from __future__ import annotations
 
 import functools
+import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +22,79 @@ from .curves import ristretto as rst
 from .fields import fp25519 as F
 
 _CHUNK = 4096
+
+# host-side (pure Python) derivation for small batches on CPU: the
+# elligator+add XLA program costs ~2 min to compile on XLA:CPU, which
+# dominates tiny test / dryrun processes. 0 disables.
+_HOST_MAX = int(os.environ.get("BLITZAR_TPU_GENERATORS_HOST_MAX", "4096"))
+
+# derived generators are canonical constants -> cache the limb arrays on
+# disk so fresh processes skip the ~95 s device derivation sweep at 2^20
+# (reference keeps an in-process precomputed_generators cache only;
+# a disk prefix is the same idea across processes). "" disables.
+_DISK_DIR = os.environ.get(
+    "BLITZAR_TPU_GENERATOR_CACHE_DIR", "/tmp/blitzar_tpu_gencache"
+)
+
+
+def _host_generators(n: int, offset: int) -> ed.PointP3:
+    """Pure-Python derivation (refimpl, bit-exact vs pinned vectors) ->
+    PointP3 limbs; no XLA program, so no compile cost for tiny batches."""
+    from .refimpl import core as refc
+
+    pts = refc.get_generators(n, offset)
+    coords = np.zeros((4, 16, n), dtype=np.uint32)
+    for i, p in enumerate(pts):
+        for k in range(4):
+            v = p[k]
+            for l in range(16):
+                coords[k, l, i] = (v >> (16 * l)) & 0xFFFF
+    return ed.PointP3(*(jnp.asarray(c) for c in coords))
+
+
+def _disk_cache_path(n: int) -> str | None:
+    if not _DISK_DIR:
+        return None
+    return os.path.join(_DISK_DIR, f"ristretto_gen_{n}.npy")
+
+
+def _disk_load(n: int) -> ed.PointP3 | None:
+    """Load the smallest cached prefix >= n (sliced down if larger)."""
+    if not _DISK_DIR or not os.path.isdir(_DISK_DIR):
+        return None
+    best = None
+    for name in os.listdir(_DISK_DIR):
+        if name.startswith("ristretto_gen_") and name.endswith(".npy"):
+            try:
+                count = int(name[len("ristretto_gen_") : -4])
+            except ValueError:
+                continue
+            if count >= n and (best is None or count < best):
+                best = count
+    if best is None:
+        return None
+    try:
+        arr = np.load(os.path.join(_DISK_DIR, f"ristretto_gen_{best}.npy"))
+    except Exception:
+        return None
+    if arr.shape != (4, 16, best) or arr.dtype != np.uint32:
+        return None
+    return ed.PointP3(*(jnp.asarray(arr[k, :, :n]) for k in range(4)))
+
+
+def _disk_save(points: ed.PointP3, n: int) -> None:
+    path = _disk_cache_path(n)
+    if path is None or os.path.exists(path):
+        return
+    try:
+        os.makedirs(_DISK_DIR, exist_ok=True)
+        arr = np.stack([np.asarray(c) for c in points])
+        fd, tmp = tempfile.mkstemp(dir=_DISK_DIR, suffix=".npy")
+        os.close(fd)
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _xorshift_limbs(indices: np.ndarray):
@@ -137,8 +212,18 @@ def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
     """PointP3 batch of the canonical generators [offset, offset + n)."""
     if n == 0:
         return ed.identity((0,))
+    if offset == 0:
+        cached = _disk_load(n)
+        if cached is not None:
+            return cached
+    if n <= _HOST_MAX and jax.default_backend() == "cpu":
+        return _host_generators(n, offset)
     if n >= _DEVICE_CHUNK and n % _DEVICE_CHUNK == 0:
-        return _generators_device(offset, n)
+        pts = _generators_device(offset, n)
+        if offset == 0 and n >= _DEVICE_CHUNK:
+            jax.block_until_ready(pts.x)
+            _disk_save(pts, n)
+        return pts
     chunks = []
     for start in range(0, n, _CHUNK):
         count = min(_CHUNK, n - start)

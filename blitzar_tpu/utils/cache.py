@@ -1,0 +1,44 @@
+"""Machine-keyed persistent-compile-cache location.
+
+XLA:CPU persists AOT results specialized to the compiling machine's CPU
+features; loading them on a different host fails ("Machine type used for
+XLA:CPU compilation doesn't match the machine type for execution") and can
+stall a process for minutes while every lookup errors out. JAX's cache key
+does not include the host features, so a shared /tmp path breaks as soon as
+two machine types touch it. Key the directory by a digest of the CPU flags
+instead — each machine gets its own cache. (Reference analog: the PTX JIT
+cache is implicitly per-GPU-arch; see
+/root/reference/sxt/cbindings/backend/gpu_backend.cc:80-101.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def _machine_key() -> str:
+    parts = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def jax_cache_dir(tag: str = "") -> str:
+    """A per-machine persistent-compilation-cache directory under /tmp."""
+    suffix = f"_{tag}" if tag else ""
+    return f"/tmp/blitzar_tpu_jax_cache_{_machine_key()}{suffix}"
+
+
+def configure(jax_config, tag: str = "") -> None:
+    """Point JAX's persistent compilation cache at the per-machine dir."""
+    jax_config.update("jax_compilation_cache_dir", jax_cache_dir(tag))
+    jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax_config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -21,10 +21,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
-# XLA compiles are slow; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/blitzar_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# XLA compiles are slow; cache them across test runs. The directory is
+# machine-keyed (utils/cache.py) — XLA:CPU AOT results from a different host
+# fail to load and stall the process.
+from blitzar_tpu.utils.cache import configure as _configure_cache  # noqa: E402
+
+_configure_cache(jax.config)
 
 
 import pytest
