@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import contextlib
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -68,9 +69,19 @@ def from_int_const(value: int, batch_shape=()):
     return jnp.broadcast_to(c, (NLIMBS,) + tuple(batch_shape))
 
 
+def _scan_unroll() -> bool:
+    """Carry/borrow chains run as rolled lax.scan loops on CPU (10x smaller
+    HLO — XLA:CPU compile time is the binding constraint for the virtual-mesh
+    dryrun and the test suite) but fully unrolled on TPU (identical graphs to
+    the hand-unrolled form; the hot paths are Pallas kernels either way).
+    Same math, same evaluation order, bit-identical values on both."""
+    return jax.default_backend() == "tpu"
+
+
 def _carry_pass(limbs):
-    """Sequential carry propagation. Input rows may be up to 2^31; output rows
-    are < 2^16 with the radix-2^16 carry returned (carry <= 2^16)."""
+    """Sequential carry propagation over a python list of rows (diag/Pallas
+    form — fully unrolled). Input rows may be up to 2^31; output rows are
+    < 2^16 with the radix-2^16 carry returned (carry <= 2^16)."""
     out = []
     c = None
     for i in range(NLIMBS):
@@ -80,32 +91,68 @@ def _carry_pass(limbs):
     return out, c
 
 
+def _carry_scan(stacked):
+    """Array-form carry propagation: lax.scan over the limb axis (rolled on
+    CPU, unrolled on TPU — see _scan_unroll). Same math and order as
+    _carry_pass; bit-identical values."""
+    def step(c, row):
+        t = row + c
+        return t >> LIMB_BITS, t & MASK
+
+    c, out = lax.scan(
+        step, jnp.zeros_like(stacked[0]), stacked, unroll=_scan_unroll()
+    )
+    return out, c
+
+
 def _finalize(limbs):
-    """Reduce a list of 16 uint32 accumulator rows (each <= 2^31) to the stored
-    invariant (limbs < 2^16, value < 2^256), folding 2^256 == 38 (mod p)."""
-    out, c = _carry_pass(limbs)
-    # c <= 2^16 so 38*c <= 2^21.3; value now < 2^256 + 2^22.
-    out[0] = out[0] + c * 38
-    out, c2 = _carry_pass(out)
-    # c2 in {0, 1}; if c2 == 1 the remaining value is < 2^22, so only limbs
-    # 0..1 are nonzero and the fold below cannot cascade past limb 1.
+    """Reduce 16 uint32 accumulator rows (each <= 2^31; python list or a
+    stacked (16, *batch) array) to the stored invariant (limbs < 2^16, value
+    < 2^256), folding 2^256 == 38 (mod p)."""
+    if _DIAG[-1]:
+        out, c = _carry_pass(limbs)
+        # c <= 2^16 so 38*c <= 2^21.3; value now < 2^256 + 2^22.
+        out[0] = out[0] + c * 38
+        out, c2 = _carry_pass(out)
+        # c2 in {0, 1}; if c2 == 1 the remaining value is < 2^22, so only limbs
+        # 0..1 are nonzero and the fold below cannot cascade past limb 1.
+        t = out[0] + c2 * 38
+        out[0] = t & MASK
+        out[1] = out[1] + (t >> LIMB_BITS)
+        return jnp.stack(out)
+    stacked = jnp.stack(limbs) if isinstance(limbs, list) else limbs
+    out, c = _carry_scan(stacked)
+    out = out.at[0].add(c * 38)
+    out, c2 = _carry_scan(out)
     t = out[0] + c2 * 38
-    out[0] = t & MASK
-    out[1] = out[1] + (t >> LIMB_BITS)
-    return jnp.stack(out)
+    return jnp.concatenate(
+        [(t & MASK)[None], (out[1] + (t >> LIMB_BITS))[None], out[2:]]
+    )
+
+
+def _fourp(batch_ndim: int):
+    return jnp.asarray(FOURP_LIMBS, jnp.uint32).reshape(
+        (NLIMBS,) + (1,) * batch_ndim
+    )
 
 
 def add(a, b):
-    return _finalize([a[i] + b[i] for i in range(NLIMBS)])
+    if _DIAG[-1]:
+        return _finalize([a[i] + b[i] for i in range(NLIMBS)])
+    return _finalize(a + b)
 
 
 def sub(a, b):
     # a + 4p - b: each row in [0, 2^17 + 2^16), no borrow.
-    return _finalize([a[i] + FOURP_LIMBS[i] - b[i] for i in range(NLIMBS)])
+    if _DIAG[-1]:
+        return _finalize([a[i] + FOURP_LIMBS[i] - b[i] for i in range(NLIMBS)])
+    return _finalize(a + _fourp(a.ndim - 1) - b)
 
 
 def neg(a):
-    return _finalize([FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)])
+    if _DIAG[-1]:
+        return _finalize([FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)])
+    return _finalize(_fourp(a.ndim - 1) - a)
 
 
 _DIAG = [False]
@@ -146,7 +193,7 @@ def _schoolbook_skew(a, b):
 def _mul_skew(a, b):
     acc = _schoolbook_skew(a, b)
     lo = acc[:NLIMBS] + acc[NLIMBS:] * jnp.uint32(38)
-    return _finalize(list(lo))
+    return _finalize(lo)
 
 
 def _schoolbook(a, b):
@@ -243,25 +290,38 @@ def mul_const(a, value: int):
 
 def mul_small(a, k: int):
     """Multiply by a small constant (k < 2^15)."""
-    return _finalize([a[i] * k for i in range(NLIMBS)])
+    if _DIAG[-1]:
+        return _finalize([a[i] * k for i in range(NLIMBS)])
+    return _finalize(a * jnp.uint32(k))
 
 
 def add_const(a, value: int):
     """a + value for a Python-int constant (limbs inlined as immediates, so
     this is Pallas-safe like mul_const)."""
     value %= 2**256
-    return _finalize(
-        [a[i] + ((value >> (16 * i)) & MASK) for i in range(NLIMBS)]
-    )
+    if _DIAG[-1]:
+        return _finalize(
+            [a[i] + ((value >> (16 * i)) & MASK) for i in range(NLIMBS)]
+        )
+    c = jnp.asarray(
+        [(value >> (16 * i)) & MASK for i in range(NLIMBS)], jnp.uint32
+    ).reshape((NLIMBS,) + (1,) * (a.ndim - 1))
+    return _finalize(a + c)
 
 
 def sub_from_const(value: int, a):
     """value - a for a Python-int constant (Pallas-safe immediates).
     Rows are value_limb + 4p_limb - a_limb < 2^18: no borrow."""
     value %= 2**256
-    return _finalize(
-        [((value >> (16 * i)) & MASK) + FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)]
-    )
+    if _DIAG[-1]:
+        return _finalize(
+            [((value >> (16 * i)) & MASK) + FOURP_LIMBS[i] - a[i] for i in range(NLIMBS)]
+        )
+    c = jnp.asarray(
+        [((value >> (16 * i)) & MASK) + FOURP_LIMBS[i] for i in range(NLIMBS)],
+        jnp.uint32,
+    ).reshape((NLIMBS,) + (1,) * (a.ndim - 1))
+    return _finalize(c - a)
 
 
 def pow2k(a, k: int):
@@ -318,15 +378,41 @@ def _sub_borrow(a_rows, b_limbs):
     return out, borrow
 
 
+def _sub_borrow_scan(stacked, b_limbs):
+    """Array-form borrow chain: (stacked - b) mod 2^256; returns
+    (rows, borrow). Same math/order as _sub_borrow."""
+    c = jnp.asarray(
+        [0x10000 - int(b_limbs[i]) for i in range(NLIMBS)], jnp.uint32
+    ).reshape((NLIMBS,) + (1,) * (stacked.ndim - 1))
+
+    def step(borrow, rows):
+        t = rows[0] + rows[1] - borrow
+        return 1 - (t >> LIMB_BITS), t & MASK
+
+    borrow, out = lax.scan(
+        step,
+        jnp.zeros_like(stacked[0]),
+        (stacked, jnp.broadcast_to(c, stacked.shape)),
+        unroll=_scan_unroll(),
+    )
+    return out, borrow
+
+
 def canonicalize(a):
     """Fully reduce to [0, p). Stored values are < 2^256 <= 2p + 38, so at
     most two conditional subtractions of p are needed."""
-    rows = list(a)
+    if _DIAG[-1]:
+        rows = list(a)
+        for _ in range(2):
+            d, borrow = _sub_borrow(rows, P_LIMBS)
+            keep = borrow.astype(jnp.bool_)
+            rows = [jnp.where(keep, r, dr) for r, dr in zip(rows, d)]
+        return jnp.stack(rows)
+    rows = a
     for _ in range(2):
-        d, borrow = _sub_borrow(rows, P_LIMBS)
-        keep = borrow.astype(jnp.bool_)
-        rows = [jnp.where(keep, r, dr) for r, dr in zip(rows, d)]
-    return jnp.stack(rows)
+        d, borrow = _sub_borrow_scan(rows, P_LIMBS)
+        rows = jnp.where(borrow.astype(jnp.bool_)[None], rows, d)
+    return rows
 
 
 def is_negative(a):

@@ -104,25 +104,69 @@ class MontField:
 
     # -- carry / compare helpers ---------------------------------------------
 
+    @staticmethod
+    def _scan_unroll() -> bool:
+        """Rolled lax.scan carry/borrow chains on CPU (small HLO; XLA:CPU
+        compile time binds the dryrun/test suite), unrolled on TPU (identical
+        graphs to the hand-unrolled form). Bit-identical values either way."""
+        return jax.default_backend() == "tpu"
+
     def _carry_rows(self, rows):
-        out = []
-        c = None
-        for i in range(len(rows)):
-            t = rows[i] if c is None else rows[i] + c
-            out.append(t & MASK)
-            c = t >> 16
+        """Carry propagation; diag (Pallas) mode keeps the unrolled python
+        list form, otherwise a rolled scan over the stacked limb axis.
+        Accepts a list of rows or a stacked array; returns (list-indexable
+        rows, carry)."""
+        if _DIAG[-1]:
+            out = []
+            c = None
+            for i in range(len(rows)):
+                t = rows[i] if c is None else rows[i] + c
+                out.append(t & MASK)
+                c = t >> 16
+            return out, c
+        stacked = jnp.stack(rows) if isinstance(rows, list) else rows
+
+        def step(c, row):
+            t = row + c
+            return t >> 16, t & MASK
+
+        c, out = lax.scan(
+            step, jnp.zeros_like(stacked[0]), stacked,
+            unroll=self._scan_unroll(),
+        )
         return out, c
 
     def _sub_borrow(self, rows, sub_limbs):
         """sub_limbs: python-int limbs."""
-        out = []
-        borrow = None
-        for i in range(self.nlimbs):
-            t = rows[i] + (0x10000 - int(sub_limbs[i]))
-            if borrow is not None:
-                t = t - borrow
-            out.append(t & MASK)
-            borrow = 1 - (t >> 16)
+        if _DIAG[-1]:
+            out = []
+            borrow = None
+            for i in range(self.nlimbs):
+                t = rows[i] + (0x10000 - int(sub_limbs[i]))
+                if borrow is not None:
+                    t = t - borrow
+                out.append(t & MASK)
+                borrow = 1 - (t >> 16)
+            return out, borrow
+        stacked = jnp.stack(rows) if isinstance(rows, list) else rows
+        c = jnp.asarray(
+            [0x10000 - int(sub_limbs[i]) for i in range(self.nlimbs)],
+            jnp.uint32,
+        ).reshape((self.nlimbs,) + (1,) * (stacked.ndim - 1))
+        return self._sub_borrow_scan_const(stacked, c)
+
+    def _sub_borrow_scan_const(self, stacked, comp):
+        """Borrow chain with a precomputed (0x10000 - b) complement array."""
+        def step(borrow, rows):
+            t = rows[0] + rows[1] - borrow
+            return 1 - (t >> 16), t & MASK
+
+        borrow, out = lax.scan(
+            step,
+            jnp.zeros_like(stacked[0]),
+            (stacked, jnp.broadcast_to(comp, stacked.shape)),
+            unroll=self._scan_unroll(),
+        )
         return out, borrow
 
     def _cond_sub_m(self, rows, overflow):
@@ -130,34 +174,63 @@ class MontField:
         [0, 2m); subtract m when overflow or rows >= m."""
         d, borrow = self._sub_borrow(rows, [int(v) for v in self.mod_limbs])
         take_d = (overflow == 1) | (borrow == 0)
-        return [jnp.where(take_d, dv, rv) for dv, rv in zip(d, rows)]
+        if _DIAG[-1]:
+            return [jnp.where(take_d, dv, rv) for dv, rv in zip(d, rows)]
+        stacked = jnp.stack(rows) if isinstance(rows, list) else rows
+        return jnp.where(take_d[None], d, stacked)
 
     # -- ring ops -------------------------------------------------------------
 
     def add(self, a, b):
-        rows, c = self._carry_rows([a[i] + b[i] for i in range(self.nlimbs)])
-        return jnp.stack(self._cond_sub_m(rows, c))
+        if _DIAG[-1]:
+            rows, c = self._carry_rows(
+                [a[i] + b[i] for i in range(self.nlimbs)]
+            )
+            return jnp.stack(self._cond_sub_m(rows, c))
+        rows, c = self._carry_rows(a + b)
+        return self._cond_sub_m(rows, c)
 
     def _sub_borrow_arr(self, rows, sub_rows):
         """Borrow-chain subtraction where the subtrahend is per-lane data."""
-        out = []
-        borrow = None
-        for i in range(self.nlimbs):
-            t = rows[i] + 0x10000 - sub_rows[i]
-            if borrow is not None:
-                t = t - borrow
-            out.append(t & MASK)
-            borrow = 1 - (t >> 16)
+        if _DIAG[-1]:
+            out = []
+            borrow = None
+            for i in range(self.nlimbs):
+                t = rows[i] + 0x10000 - sub_rows[i]
+                if borrow is not None:
+                    t = t - borrow
+                out.append(t & MASK)
+                borrow = 1 - (t >> 16)
+            return out, borrow
+        a_st = jnp.stack(rows) if isinstance(rows, list) else rows
+        b_st = jnp.stack(sub_rows) if isinstance(sub_rows, list) else sub_rows
+
+        def step(borrow, r):
+            t = r[0] + 0x10000 - r[1] - borrow
+            return 1 - (t >> 16), t & MASK
+
+        borrow, out = lax.scan(
+            step, jnp.zeros_like(a_st[0]), (a_st, b_st),
+            unroll=self._scan_unroll(),
+        )
         return out, borrow
 
     def sub(self, a, b):
-        d, borrow = self._sub_borrow_arr(
-            [a[i] for i in range(self.nlimbs)], [b[i] for i in range(self.nlimbs)]
+        if _DIAG[-1]:
+            d, borrow = self._sub_borrow_arr(
+                [a[i] for i in range(self.nlimbs)],
+                [b[i] for i in range(self.nlimbs)],
+            )
+            mod_ints = [int(v) for v in self.mod_limbs]
+            add_back = [dv + mv * borrow for dv, mv in zip(d, mod_ints)]
+            rows, _ = self._carry_rows(add_back)  # carry-out drops
+            return jnp.stack(rows)
+        d, borrow = self._sub_borrow_arr(a, b)
+        mod_arr = jnp.asarray(self.mod_limbs).reshape(
+            (self.nlimbs,) + (1,) * (a.ndim - 1)
         )
-        mod_ints = [int(v) for v in self.mod_limbs]
-        add_back = [dv + mv * borrow for dv, mv in zip(d, mod_ints)]
-        rows, _ = self._carry_rows(add_back)  # carry-out (the 2^radix) drops
-        return jnp.stack(rows)
+        rows, _ = self._carry_rows(d + mod_arr * borrow)
+        return rows
 
     def neg(self, a):
         return self.sub(self.zeros(a.shape[1:]), a)
@@ -245,15 +318,30 @@ class MontField:
         acc = jnp.concatenate([acc_rows, jnp.zeros((1,) + batch, jnp.uint32)])
         mod_arr = jnp.asarray(self.mod_limbs).reshape((n,) + (1,) * len(batch))
         n0p = jnp.uint32(self.n0p)
-        for i in range(n):
-            u = ((acc[i] & MASK) * n0p) & MASK
-            prod = u[None] * mod_arr  # (n, *batch) exact 32-bit
-            acc = acc.at[i : i + n].add(prod & MASK)
-            acc = acc.at[i + 1 : i + n + 1].add(prod >> 16)
-            acc = acc.at[i + 1].add(acc[i] >> 16)
+        if self._scan_unroll():
+            for i in range(n):
+                u = ((acc[i] & MASK) * n0p) & MASK
+                prod = u[None] * mod_arr  # (n, *batch) exact 32-bit
+                acc = acc.at[i : i + n].add(prod & MASK)
+                acc = acc.at[i + 1 : i + n + 1].add(prod >> 16)
+                acc = acc.at[i + 1].add(acc[i] >> 16)
+        else:
+            # rolled CIOS: same updates via fixed-size dynamic slices (the
+            # window [i, i+n+1) has static length), scanned over the word
+            # index — one loop body in the graph instead of n unrolled steps
+            def step(acc, i):
+                win = lax.dynamic_slice_in_dim(acc, i, n + 1, axis=0)
+                u = ((win[0] & MASK) * n0p) & MASK
+                prod = u[None] * mod_arr  # (n, *batch) exact 32-bit
+                win = win.at[:n].add(prod & MASK)
+                win = win.at[1 : n + 1].add(prod >> 16)
+                win = win.at[1].add(win[0] >> 16)
+                return lax.dynamic_update_slice_in_dim(acc, win, i, axis=0), None
+
+            acc, _ = lax.scan(step, acc, jnp.arange(n))
         rows, c = self._carry_rows([acc[n + i] for i in range(n)])
         top = acc[2 * n] + c  # 0 or 1 (result < 2m)
-        return jnp.stack(self._cond_sub_m(rows, top))
+        return self._cond_sub_m(rows, top)
 
     def mul(self, a, b):
         """Montgomery product: a*b*R^-1 mod m (canonical inputs/outputs)."""
