@@ -28,14 +28,27 @@ void panic(const char* msg) {
   std::abort();
 }
 
-// Lazily initialize the embedded interpreter and import the bridge module.
-PyObject* bridge() {
-  static PyObject* mod = nullptr;
+// Initialize the embedded interpreter exactly once. MUST run before any
+// PyGILState_Ensure: in a pure-C consumer (no host Python) the first ABI
+// call is what brings the interpreter up, and taking the GIL first
+// segfaults in _PyThreadState_New. After Py_InitializeEx the calling
+// thread owns the GIL — hand it back with PyEval_SaveThread so every
+// entry point (from any thread) can use the PyGILState API uniformly.
+void ensure_python() {
   static std::once_flag once;
   std::call_once(once, [] {
     if (!Py_IsInitialized()) {
       Py_InitializeEx(0);
+      PyEval_SaveThread();
     }
+  });
+}
+
+// Lazily import the bridge module.
+PyObject* bridge() {
+  static PyObject* mod = nullptr;
+  static std::once_flag once;
+  std::call_once(once, [] {
     PyGILState_STATE gil = PyGILState_Ensure();
     mod = PyImport_ImportModule("blitzar_tpu.capi_bridge");
     if (mod == nullptr) {
@@ -49,7 +62,10 @@ PyObject* bridge() {
 
 struct GIL {
   PyGILState_STATE state;
-  GIL() : state(PyGILState_Ensure()) {}
+  GIL() {
+    ensure_python();
+    state = PyGILState_Ensure();
+  }
   ~GIL() { PyGILState_Release(state); }
 };
 
