@@ -415,13 +415,28 @@ def main():
         elif suite == "memory":
             bench_memory(args.samples)
         elif suite == "baseline":
-            # every BASELINE.md target row in one run (TPU hardware)
-            bench_setup([20], args.samples)
-            bench_fixed([1 << 20], ["ristretto255", "bls12-381"], args.samples)
-            bench_signed(20, args.samples)
-            bench_streaming([21, 24], args.samples)
-            bench_ipa([1 << 20], 1)
-            bench_sumcheck(1 << 20, 3, 2, 1)
+            # every BASELINE.md target row in one run (TPU hardware);
+            # each row is guarded so one failure doesn't lose the rest
+            import traceback
+
+            def _guard(name, fn, *a):
+                try:
+                    fn(*a)
+                except Exception:
+                    print(json.dumps({"benchmark": name, "error": True}), flush=True)
+                    traceback.print_exc()
+
+            _guard("handle_setup", bench_setup, [20], args.samples)
+            _guard(
+                "fixed",
+                bench_fixed, [1 << 20], ["ristretto255", "bls12-381"], args.samples,
+            )
+            _guard("signed", bench_signed, 20, args.samples)
+            _guard("streaming", bench_streaming, [21, 24], args.samples)
+            _guard("ipa", bench_ipa, [1 << 20], 1)
+            _guard("sumcheck", bench_sumcheck, 1 << 20, 3, 2, 1)
+            _guard("vlen", bench_vlen, 1 << 20, 10, args.samples)
+            _guard("primitives", bench_primitives, args.samples)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,16 @@ def init(backend: str = "auto", num_precomputed_generators: int = 0, mesh=None):
         raise ValueError(f"unknown backend {backend!r}")
     _enable_compile_cache()
     _BACKEND.kind = backend
+    if backend == "cpu" and jax.default_backend() != "cpu":
+        # honor the cpu backend on an accelerator host: route dispatch to the
+        # host platform (results are bit-identical by construction — the
+        # reference's cpu backend exists for exactly this, SURVEY §0). The
+        # device kernels check jax.default_backend() so the Pallas fast
+        # paths stay off.
+        try:
+            jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            log.warning("cpu backend requested but no host cpu platform available")
     if mesh is not None:
         _BACKEND.mesh = mesh
     elif len(jax.devices()) > 1:

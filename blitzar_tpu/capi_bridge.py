@@ -156,10 +156,16 @@ def _parse_descriptors(addr: int, num: int) -> list[api.SequenceDescriptor]:
 
 
 def init(backend: int, num_precomputed_generators: int) -> int:
-    # SXT_GPU_BACKEND=0, SXT_CPU_BACKEND=1 (reference blitzar_api.h:25-26)
+    # SXT_CPU_BACKEND=1, SXT_GPU_BACKEND=2 (reference blitzar_api.h:25-26).
+    # The reference validates the value and returns 1 on anything else
+    # (backend.cc:114-134); GPU maps to our accelerator path ("auto" picks
+    # tpu when a chip is attached), CPU pins the host platform.
+    kinds = {1: "cpu", 2: "auto"}
+    if backend not in kinds:
+        return 1
     try:
         api.init(
-            backend="auto",
+            backend=kinds[backend],
             num_precomputed_generators=num_precomputed_generators,
         )
         return 0

@@ -55,31 +55,91 @@ def _host_generators(n: int, offset: int) -> ed.PointP3:
 def _disk_cache_path(n: int) -> str | None:
     if not _DISK_DIR:
         return None
-    return os.path.join(_DISK_DIR, f"ristretto_gen_{n}.npy")
+    return os.path.join(_DISK_DIR, f"ristretto_gen_a_{n}.npy")
+
+
+@jax.jit
+def _affine_to_p3(x16, y16) -> ed.PointP3:
+    """Affine (16, n) uint16 limb pairs -> extended PointP3 (z = 1,
+    t = x*y). One batched field mul; runs where the points will live."""
+    x = x16.astype(jnp.uint32)
+    y = y16.astype(jnp.uint32)
+    t = F.mul(x, y)
+    one = F.from_int_const(1, x.shape[1:])
+    return ed.PointP3(x, y, one, t)
 
 
 def _disk_load(n: int) -> ed.PointP3 | None:
-    """Load the smallest cached prefix >= n (sliced down if larger)."""
+    """Load the smallest cached prefix >= n (sliced down if larger).
+
+    The cache stores AFFINE x/y as uint16 limbs (the limbs are 16-bit
+    values) — 4x less than the extended uint32 form, which matters because
+    loading uploads the whole array across the (slow) host-device link.
+    z = 1 / t = x*y are recomputed on device. Legacy extended-uint32 files
+    (ristretto_gen_<n>.npy) are still honored."""
     if not _DISK_DIR or not os.path.isdir(_DISK_DIR):
         return None
     best = None
     for name in os.listdir(_DISK_DIR):
-        if name.startswith("ristretto_gen_") and name.endswith(".npy"):
-            try:
-                count = int(name[len("ristretto_gen_") : -4])
-            except ValueError:
-                continue
-            if count >= n and (best is None or count < best):
-                best = count
+        if not name.endswith(".npy"):
+            continue
+        for prefix, affine in (("ristretto_gen_a_", True), ("ristretto_gen_", False)):
+            if name.startswith(prefix):
+                try:
+                    count = int(name[len(prefix) : -4])
+                except ValueError:
+                    break
+                if count >= n and (
+                    best is None or count < best[0] or (count == best[0] and affine)
+                ):
+                    best = (count, affine, name)
+                break
     if best is None:
         return None
+    count, affine, name = best
     try:
-        arr = np.load(os.path.join(_DISK_DIR, f"ristretto_gen_{best}.npy"))
+        arr = np.load(os.path.join(_DISK_DIR, name))
     except Exception:
         return None
-    if arr.shape != (4, 16, best) or arr.dtype != np.uint32:
+    if affine:
+        if arr.shape != (2, 16, count) or arr.dtype != np.uint16:
+            return None
+        return _affine_to_p3(
+            jnp.asarray(arr[0, :, :n]), jnp.asarray(arr[1, :, :n])
+        )
+    if arr.shape != (4, 16, count) or arr.dtype != np.uint32:
         return None
     return ed.PointP3(*(jnp.asarray(arr[k, :, :n]) for k in range(4)))
+
+
+@jax.jit
+def _to_affine_xy_chunk(x, y, z):
+    """(16, chunk) extended coords -> affine (x, y) uint16 limb arrays
+    (generators never include the identity, so z is invertible). Inversion
+    and muls route through the fused Pallas kernels on TPU (msm.fixed
+    helpers) — the inline-XLA chain would dominate compile time."""
+    from .msm import fixed as _fixed
+
+    zinv = _fixed._finvert(z)
+    xa = _fixed._fmul(x, zinv)
+    ya = _fixed._fmul(y, zinv)
+    return xa.astype(jnp.uint16), ya.astype(jnp.uint16)
+
+
+def _to_affine_xy(points: ed.PointP3):
+    """Chunked at a FIXED size so the conversion program compiles once and
+    serves every n (a shape-specialized jit would pay minutes of XLA
+    compile per distinct cache size)."""
+    n = points.x.shape[-1]
+    if n <= _DEVICE_CHUNK or n % _DEVICE_CHUNK:
+        return _to_affine_xy_chunk(points.x, points.y, points.z)
+    xs, ys = [], []
+    for start in range(0, n, _DEVICE_CHUNK):
+        sl = slice(start, start + _DEVICE_CHUNK)
+        xc, yc = _to_affine_xy_chunk(points.x[:, sl], points.y[:, sl], points.z[:, sl])
+        xs.append(xc)
+        ys.append(yc)
+    return jnp.concatenate(xs, axis=-1), jnp.concatenate(ys, axis=-1)
 
 
 def _disk_save(points: ed.PointP3, n: int) -> None:
@@ -87,8 +147,9 @@ def _disk_save(points: ed.PointP3, n: int) -> None:
     if path is None or os.path.exists(path):
         return
     try:
+        x16, y16 = _to_affine_xy(points)
+        arr = np.stack([np.asarray(x16), np.asarray(y16)])
         os.makedirs(_DISK_DIR, exist_ok=True)
-        arr = np.stack([np.asarray(c) for c in points])
         fd, tmp = tempfile.mkstemp(dir=_DISK_DIR, suffix=".npy")
         os.close(fd)
         np.save(tmp, arr)

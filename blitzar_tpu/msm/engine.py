@@ -244,13 +244,32 @@ def prepare_scalars(data_list, nbytes_list, signed_list, n_max=None):
     return scalars, signs, n
 
 
-# Small identity-keyed cache of partition-table handles, so repeated dynamic
-# MSMs over the same generator arrays (e.g. the cached canonical ristretto
-# generators in api.compute_*_commitments) skip the table rebuild. Keyed by
-# array object identity — safe because a hit requires the same live jax
-# array, and bounded so stale entries rotate out.
+# Small cache of partition-table handles, so repeated dynamic MSMs over the
+# same generator set (e.g. the cached canonical ristretto generators in
+# api.compute_*_commitments) skip the multi-second table rebuild. Lookup is
+# two-tier: array object identity first (free), then a cheap content digest
+# of boundary points + n — so logically identical generators arriving in a
+# FRESH array (the C ABI copies its inputs, capi_bridge.py) still hit.
+# Bounded so stale entries rotate out.
 _HANDLE_CACHE: list = []
 _HANDLE_CACHE_SLOTS = 4
+
+
+def _content_digest(points, n: int, curve) -> bytes:
+    """Digest of the first/last 4 points' x-limbs + n. Two distinct
+    generator sets sharing 8 boundary points are effectively impossible for
+    the curve-point inputs this caches; cost is a tiny D2H slice."""
+    import hashlib
+
+    x = points.x
+    head = np.asarray(x[:, : min(4, n)])
+    tail = np.asarray(x[:, max(n - 4, 0) : n])
+    h = hashlib.blake2b(digest_size=16)
+    h.update(n.to_bytes(8, "little"))
+    h.update(curve.name.encode())
+    h.update(head.tobytes())
+    h.update(tail.tobytes())
+    return h.digest()
 
 
 # ceiling for the fused single-dispatch small-n path (reference
@@ -282,15 +301,28 @@ def _handle_cached(points, n, curve) -> bool:
 
 def _cached_handle(points, n, curve, _fixed):
     for entry in _HANDLE_CACHE:
-        cached_x, cached_n, cached_curve, handle = entry
+        cached_x, cached_n, cached_curve, _digest, handle = entry
         if cached_x is points.x and cached_n == n and cached_curve is curve:
             return handle
+    digest = _content_digest(points, n, curve)
+    for entry in _HANDLE_CACHE:
+        _x, cached_n, cached_curve, cached_digest, handle = entry
+        if cached_digest == digest and cached_n == n and cached_curve is curve:
+            # same content in a fresh array (e.g. through the copying C ABI):
+            # re-key on the new identity so the next lookup is free
+            entry[0] = points.x
+            return handle
+    import logging
+
+    logging.getLogger("blitzar_tpu").info(
+        "building partition-table handle (n=%d, curve=%s) — cache miss", n, curve.name
+    )
     # width chosen by table-memory budget (w=8 tables hold 2^8/8 = 32
     # split points per input point — 6.4 GB at n=2^20 for curve25519, more
     # for the wider Weierstrass fields); larger n takes the streaming path
     # before reaching here
     handle = _fixed.MultiexpHandle(points, curve=curve, n=n)
-    _HANDLE_CACHE.append((points.x, n, curve, handle))
+    _HANDLE_CACHE.append([points.x, n, curve, digest, handle])
     if len(_HANDLE_CACHE) > _HANDLE_CACHE_SLOTS:
         _HANDLE_CACHE.pop(0)
     return handle

@@ -353,6 +353,80 @@ def _build_split_table_xla(points, window_width: int, curve=ed, form: str = "nie
     return lax.map(build_chunk, chunked)  # (nchunks, gc, 2L, V)
 
 
+def _handle_n_pad(n: int, w: int, curve) -> int:
+    """The padded point count MultiexpHandle will use for (n, w, curve)."""
+    from ..ops import pallas_point as pp
+
+    n_pad = -(-max(n, 1) // w) * w
+    if pp.use_pallas() and w <= 8:
+        tile = w * pp._build_bg(w)
+        n_pad = -(-n_pad // tile) * tile
+    return n_pad
+
+
+def precompile_async(
+    n: int, window_width: int = 8, num_outputs: int = 1, nbits: int = 256,
+    curve=ed,
+):
+    """Start a background AOT compile of the handle-build and query programs
+    for the given shapes; returns the Thread (join before first use for
+    deterministic timing, or ignore it).
+
+    The cold XLA compiles cost ~25 s (build) + ~70 s (query) on the TPU
+    tunnel; overlapping them with generator derivation/upload cuts
+    sxt_multiexp_handle_new's cold wall time accordingly. Compiled
+    executables land in the persistent compilation cache, so the later jit
+    entry points load instead of recompiling. (Reference analog: the PTX-JIT
+    warm-up MSM at init, gpu_backend.cc:80-101.)"""
+    import threading
+
+    w = window_width
+    n_pad = _handle_n_pad(n, w, curve)
+    groups = n_pad // w
+    gc = _table_chunk_groups(groups)
+
+    def work_build():
+        try:
+            from ..ops import pallas_point as pp
+
+            pts_sds = curve.make_point(
+                *(
+                    jax.ShapeDtypeStruct((curve.nlimbs, n_pad), jnp.uint32)
+                    for _ in range(curve.coord_count)
+                )
+            )
+            if (
+                pp.use_pallas()
+                and pp.build_split_fits(groups, w)
+                and gc % pp._build_bg(w) == 0
+            ):
+                _build_split_pallas.lower(
+                    pts_sds, window_width=w, curve=curve, form="niels", gc=gc
+                ).compile()
+        except Exception:
+            # best-effort: a failed precompile just means the jit entry
+            # compiles inline as before
+            pass
+
+    def work_query():
+        try:
+            ts = jax.ShapeDtypeStruct(
+                (groups // gc, gc, 2 * _split_l(curve), 1 << w), _table_dtype()
+            )
+            sc = jax.ShapeDtypeStruct(
+                (num_outputs, groups * w, nbits // 8), jnp.uint8
+            )
+            _query_jit.lower(ts, sc, w, num_outputs, nbits, curve).compile()
+        except Exception:
+            pass
+
+    t_build = threading.Thread(target=work_build, daemon=True)
+    t_query = threading.Thread(target=work_query, daemon=True)
+    t_build.start()
+    t_query.start()
+    return t_build, t_query
+
+
 class MultiexpHandle:
     """Reference sxt_multiexp_handle (blitzar_api.h:184, multiexp_handle.h):
     precomputed partition tables for a fixed generator sequence."""
@@ -362,14 +436,10 @@ class MultiexpHandle:
         self.n = int(n if n is not None else points.x.shape[-1])
         self.window_width = int(window_width or auto_window_width(self.n, curve))
         w = self.window_width
-        n_pad = -(-max(self.n, 1) // w) * w
-        # round groups up to the fused build kernel's tile (identity padding
-        # is free at query time: padded scalars are zero -> table entry 0)
-        from ..ops import pallas_point as pp
-
-        if pp.use_pallas() and w <= 8:
-            tile = w * pp._build_bg(w)
-            n_pad = -(-n_pad // tile) * tile
+        # pad to the window and (on TPU) to the fused build kernel's tile —
+        # identity padding is free at query time: padded scalars are zero ->
+        # table entry 0
+        n_pad = _handle_n_pad(self.n, w, curve)
         if points.x.shape[-1] < n_pad:
             pad = curve.identity((n_pad - points.x.shape[-1],))
             points = curve.make_point(

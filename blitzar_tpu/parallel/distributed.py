@@ -74,6 +74,15 @@ def global_mesh():
     return sharded.make_mesh(jax.devices())
 
 
+def global_mesh_mle():
+    """1-D MLE-axis mesh over every device in the job — the sumcheck
+    prover's layout (proof/sumcheck_sharded.py: cyclic MLE sharding, folds
+    communication-free, one O(degree) all_gather per round)."""
+    from ..proof import sumcheck_sharded
+
+    return sumcheck_sharded.make_mesh(jax.devices())
+
+
 def global_mesh2d(outputs: int | None = None):
     """2-D (outputs x points) mesh over every device in the job. With
     multiple hosts the outputs axis spans processes (DCN) — its shards never

@@ -15,8 +15,8 @@
 extern "C" {
 #endif
 
-#define SXT_GPU_BACKEND 0
 #define SXT_CPU_BACKEND 1
+#define SXT_GPU_BACKEND 2
 
 #define SXT_CURVE_RISTRETTO255 0
 #define SXT_CURVE_BLS_381 1

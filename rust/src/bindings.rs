@@ -2,8 +2,8 @@
 
 use std::os::raw::{c_char, c_int, c_uint, c_void};
 
-pub const SXT_GPU_BACKEND: c_int = 0;
 pub const SXT_CPU_BACKEND: c_int = 1;
+pub const SXT_GPU_BACKEND: c_int = 2;
 
 pub const SXT_CURVE_RISTRETTO255: c_uint = 0;
 pub const SXT_CURVE_BLS_381: c_uint = 1;

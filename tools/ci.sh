@@ -9,11 +9,21 @@
 set -e
 cd "$(dirname "$0")/.."
 
+echo "== ABI parity vs reference header =="
+if [ -f /root/reference/cbindings/blitzar_api.h ]; then
+  python tools/abi_parity.py
+else
+  echo "reference header not present, skipping"
+fi
+
 echo "== fast host-only tests =="
 python -m pytest tests/test_limbs.py tests/test_transcript.py tests/test_refimpl.py -q
 
 echo "== full suite (virtual 8-device CPU mesh) =="
 python -m pytest tests/ -q
+
+echo "== multi-host simulation (2 jax.distributed processes x 4 CPU devices) =="
+python tools/multihost_sim.py
 
 echo "== native ABI =="
 OUT=$(mktemp -d)
