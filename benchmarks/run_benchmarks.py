@@ -179,8 +179,17 @@ def bench_ipa(ns, samples):
         np_ = 1 << ipa.ceil_log2(n)
         g = gen.ristretto_generators(np_)
         q = gen.ristretto_generators(1, offset=np_)
-        a = [int(v) for v in rng.integers(1, 2**62, size=n)]
-        b = [int(v) for v in rng.integers(1, 2**62, size=n)]
+        # (n, 32) uint8 LE rows — the ABI shape; takes _scalar_rows' no-copy
+        # fast path (per-int Python marshalling costs minutes at 2^20)
+        def rows62(r):
+            out = np.zeros((n, 32), np.uint8)
+            out[:, :8] = r.integers(1, 2**62, size=n, dtype=np.uint64).view(
+                np.uint8
+            ).reshape(n, 8)
+            return out
+
+        a = rows62(rng)
+        b = rows62(rng)
 
         def prove():
             return ipa.prove_inner_product(Transcript(b"bench"), a, b, g, q)
@@ -193,12 +202,15 @@ def bench_ipa(ns, samples):
             l_vec, r_vec, ap = prove()
         dt_prove = (time.time() - t0) / samples
 
-        product = sum(x * y for x, y in zip(a, b)) % ipa.ORDER
-        data = np.zeros((n, 32), np.uint8)
-        for i, v in enumerate(a):
-            data[i] = np.frombuffer(int(v).to_bytes(32, "little"), np.uint8)
+        # <a, b> mod l on device (python bigint loop is minutes at 2^20)
+        from blitzar_tpu.fields import params as _params
+
+        S = _params.SCALAR25519
+        a_mont = S.from_bytes_le(jnp.asarray(a.T))
+        b_mont = S.from_bytes_le(jnp.asarray(b.T))
+        product = S.to_ints(S.inner_product(a_mont, b_mont, n)[..., None])[0]
         a_commit = engine.msm(
-            engine.ed.index_batch(g, (slice(0, n),)), [data], [32], [False]
+            engine.ed.index_batch(g, (slice(0, n),)), [a], [32], [False]
         )
 
         def verify():
@@ -221,9 +233,15 @@ def bench_sumcheck(n, degree, num_products, samples):
 
     rng = np.random.default_rng(4)
     num_mles = max(degree, 2)
-    mles = [
-        [int(v) for v in rng.integers(0, 2**62, size=n)] for _ in range(num_mles)
-    ]
+    # ABI byte-row form (num_mles, n, 32): takes the vectorized device-side
+    # conversion fast path (per-int Python marshalling at 2^20 costs minutes
+    # on this 1-core host and is not what the C ABI pays)
+    mles = np.zeros((num_mles, n, 32), np.uint8)
+    mles[:, :, :8] = (
+        rng.integers(0, 2**62, size=(num_mles, n), dtype=np.uint64)
+        .view(np.uint8)
+        .reshape(num_mles, n, 8)
+    )
     product_table = [(1, degree) for _ in range(num_products)]
     product_terms = []
     for p in range(num_products):

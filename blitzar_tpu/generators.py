@@ -59,14 +59,31 @@ def _disk_cache_path(n: int) -> str | None:
 
 
 @jax.jit
-def _affine_to_p3(x16, y16) -> ed.PointP3:
-    """Affine (16, n) uint16 limb pairs -> extended PointP3 (z = 1,
-    t = x*y). One batched field mul; runs where the points will live."""
+def _affine_to_p3_chunk(x16, y16) -> ed.PointP3:
+    """Affine (16, chunk) uint16 limb pairs -> extended PointP3 (z = 1,
+    t = x*y). The mul routes through the fused Pallas kernel on TPU
+    (inline-XLA muls at 2^20 width cost ~50 s of compile)."""
+    from .msm import fixed as _fixed
+
     x = x16.astype(jnp.uint32)
     y = y16.astype(jnp.uint32)
-    t = F.mul(x, y)
+    t = _fixed._fmul(x, y)
     one = F.from_int_const(1, x.shape[1:])
     return ed.PointP3(x, y, one, t)
+
+
+def _affine_to_p3(x16, y16) -> ed.PointP3:
+    """Chunked at a FIXED size so one compiled program serves every n."""
+    n = x16.shape[-1]
+    if n <= _DEVICE_CHUNK or n % _DEVICE_CHUNK:
+        return _affine_to_p3_chunk(x16, y16)
+    chunks = [
+        _affine_to_p3_chunk(
+            x16[:, s : s + _DEVICE_CHUNK], y16[:, s : s + _DEVICE_CHUNK]
+        )
+        for s in range(0, n, _DEVICE_CHUNK)
+    ]
+    return ed.PointP3(*(jnp.concatenate(cs, axis=1) for cs in zip(*chunks)))
 
 
 def _disk_load(n: int) -> ed.PointP3 | None:
