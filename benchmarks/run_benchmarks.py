@@ -320,6 +320,8 @@ def bench_streaming(log_ns, samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.msm import fixed
 
+    import gc
+
     rng = np.random.default_rng(6)
     for log_n in log_ns:
         n = 1 << log_n
@@ -333,6 +335,10 @@ def bench_streaming(log_ns, samples):
 
         dt = _time(run, samples)
         _emit("streaming_msm", {"n": n}, dt, work=n)
+        # at 2^24 the point batch is 4 GB of HBM — free it (and any live
+        # chunk slabs) before the next row or the rest of a combined run OOMs
+        del points, scalars
+        gc.collect()
 
 
 def bench_memory(samples):

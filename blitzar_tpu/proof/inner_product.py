@@ -107,38 +107,47 @@ def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("mid", "np_"))
-def _round_exponents(a, b, mu, mid: int, np_: int):
+@functools.partial(jax.jit, static_argnames=("np_",))
+def _round_exponents(a, b, mu, mid, np_: int):
     """One round's MSM exponents over the ORIGINAL generator basis.
 
-    a, b: (nl, n_k) folded Montgomery vectors (n_k = 2*mid); mu: (nl, np_)
-    per-original-generator fold multipliers. Returns the (2, np_, 32) byte
-    exponents [e_L; e_R] for the fixed-G MSM and the (2, 1, 32) byte scalars
-    [cL; cR] for Q, where
+    a, b: (nl, np_) Montgomery vectors — the folded round values live in the
+    first n_k = 2*mid entries, zeros beyond; mu: (nl, np_) per-original-
+    generator fold multipliers; mid: TRACED int32 (one compiled program
+    serves every round — the per-round shape-specialized variant cost ~20
+    multi-minute XLA compiles per proof size). Returns the (2, np_, 32)
+    byte exponents [e_L; e_R] for the fixed-G MSM and the (2, 1, 32) byte
+    scalars [cL; cR] for Q, where
 
       e_L[j] = mu[j] * a_lo[(j mod n_k) - mid]   if (j mod n_k) >= mid else 0
       e_R[j] = mu[j] * a_hi[(j mod n_k)]         if (j mod n_k) <  mid else 0
 
     (L = <a_lo, G_hi^(k)> and G_hi^(k)[i] = sum_{j mod n_k == mid+i}
     mu_j G_j — see module docstring.)"""
-    n_k = 2 * mid
-    reps = np_ // n_k
-    a_lo, a_hi = a[:, :mid], a[:, mid:]
-    b_lo, b_hi = b[:, :mid], b[:, mid:]
-    c_l = S.inner_product(a_lo, b_hi, mid)[..., None]
-    c_r = S.inner_product(a_hi, b_lo, mid)[..., None]
+    nl = a.shape[0]
+    mid = jnp.asarray(mid, jnp.int32)
+    j = jnp.arange(np_, dtype=jnp.int32)
+    idx = j & (2 * mid - 1)  # j mod n_k (n_k a power of two)
+    hi = idx >= mid
 
-    nl = mu.shape[0]
-    mu_blk = mu.reshape(nl, reps, n_k)
-    zeros = S.zeros((reps, mid))
-    a_lo_t = jnp.broadcast_to(a_lo[:, None, :], (nl, reps, mid))
-    a_hi_t = jnp.broadcast_to(a_hi[:, None, :], (nl, reps, mid))
-    e_l = jnp.concatenate(
-        [zeros, S.mul(mu_blk[:, :, mid:], a_lo_t)], axis=-1
-    ).reshape(nl, np_)
-    e_r = jnp.concatenate(
-        [S.mul(mu_blk[:, :, :mid], a_hi_t), zeros], axis=-1
-    ).reshape(nl, np_)
+    def take(arr, pos):
+        safe = jnp.clip(pos, 0, np_ - 1)
+        return jnp.take_along_axis(
+            arr, jnp.broadcast_to(safe[None], (nl, np_)), axis=1
+        )
+
+    a_lo_g = take(a, idx - mid)  # a_lo[(j mod n_k) - mid] for the hi slots
+    a_hi_g = take(a, idx + mid)  # a_hi[i] = a[mid + i], i = idx for lo slots
+    e_l = jnp.where(hi[None], S.mul(mu, a_lo_g), jnp.uint32(0))
+    e_r = jnp.where(hi[None], jnp.uint32(0), S.mul(mu, a_hi_g))
+
+    # cL = <a_lo, b_hi> = sum_{i < mid} a[i] * b[i + mid]; cR symmetric
+    valid = (j < mid)[None]
+    b_sh = take(b, j + mid)
+    a_sh = take(a, j + mid)
+    c_l = S.tree_sum(jnp.where(valid, S.mul(a, b_sh), jnp.uint32(0)), np_)[..., None]
+    c_r = S.tree_sum(jnp.where(valid, S.mul(a_sh, b), jnp.uint32(0)), np_)[..., None]
+
     g_bytes = jnp.stack([S.to_bytes_le(e_l).T, S.to_bytes_le(e_r).T])
     q_bytes = jnp.stack([S.to_bytes_le(c_l).T, S.to_bytes_le(c_r).T])
     return g_bytes, q_bytes
@@ -181,25 +190,40 @@ def _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid: int, np_: int):
     return _add_encode(part, qpart)
 
 
-@functools.partial(jax.jit, static_argnames=("mid",))
-def _fold(a, b, mu, x_mont, xinv_mont, mid: int):
-    """Fold the scalar vectors and the generator multipliers: a/b halve,
-    mu stays np_-wide (mu_j *= x^-1 where j sat in the lo half, x where hi)."""
-    a_lo, a_hi = a[:, :mid], a[:, mid:]
-    b_lo, b_hi = b[:, :mid], b[:, mid:]
-    a_next = S.add(S.mul(x_mont, a_lo), S.mul(xinv_mont, a_hi))
-    b_next = S.add(S.mul(xinv_mont, b_lo), S.mul(x_mont, b_hi))
-
+@jax.jit
+def _fold(a, b, mu, x_mont, xinv_mont, mid):
+    """Fold the scalar vectors and the generator multipliers. a, b stay
+    np_-wide (folded values in the first mid entries, zeros beyond — so ONE
+    compiled program serves every round, mid traced); mu stays np_-wide
+    (mu_j *= x^-1 where j sat in the lo half of its block, x where hi)."""
     nl, np_ = mu.shape
-    n_k = 2 * mid
-    mu_blk = mu.reshape(nl, np_ // n_k, n_k)
-    mu_next = jnp.concatenate(
-        [
-            S.mul(jnp.broadcast_to(xinv_mont[:, None], mu_blk[:, :, :mid].shape), mu_blk[:, :, :mid]),
-            S.mul(jnp.broadcast_to(x_mont[:, None], mu_blk[:, :, mid:].shape), mu_blk[:, :, mid:]),
-        ],
-        axis=-1,
-    ).reshape(nl, np_)
+    mid = jnp.asarray(mid, jnp.int32)
+    j = jnp.arange(np_, dtype=jnp.int32)
+
+    def take(arr, pos):
+        safe = jnp.clip(pos, 0, np_ - 1)
+        return jnp.take_along_axis(
+            arr, jnp.broadcast_to(safe[None], (nl, np_)), axis=1
+        )
+
+    keep = (j < mid)[None]
+    a_sh = take(a, j + mid)
+    b_sh = take(b, j + mid)
+    a_next = jnp.where(
+        keep, S.add(S.mul(x_mont, a), S.mul(xinv_mont, a_sh)), jnp.uint32(0)
+    )
+    b_next = jnp.where(
+        keep, S.add(S.mul(xinv_mont, b), S.mul(x_mont, b_sh)), jnp.uint32(0)
+    )
+
+    idx = j & (2 * mid - 1)
+    lo_blk = (idx < mid)[None]
+    factor = jnp.where(
+        lo_blk,
+        jnp.broadcast_to(xinv_mont, (nl, np_)),
+        jnp.broadcast_to(x_mont, (nl, np_)),
+    )
+    mu_next = S.mul(mu, factor)
     return a_next, b_next, mu_next
 
 
@@ -290,7 +314,7 @@ def prove_inner_product(
         a, b, mu = _fold(a, b, mu, S.from_ints([x]), S.from_ints([xinv]), mid)
         cur = mid
 
-    ap_value = S.to_ints(a)[0]
+    ap_value = S.to_ints(a[:, :1])[0]
     return l_out, r_out, ap_value
 
 
