@@ -214,6 +214,64 @@ def _fold_round(field: MontField, mles, r, one_m_r, mid: int):
     )
 
 
+# -- dynamic-mid variants: arrays stay full width with the live fold in the
+# first 2*mid lanes, mid is a TRACED scalar — ONE compiled (sum, fold) pair
+# serves every round (the static-mid versions above compile per round:
+# ~40 shape-specialized programs for a 2^20 proof; they remain in use by
+# the sharded per-device path and tests) -------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
+    """_sum_round with mles (nlimbs, num_mles, W), live values in the first
+    2*mid entries; coefficients masked to i < mid before the tree sum."""
+    nl, m, width = mles.shape
+    mid = jnp.asarray(mid, jnp.int32)
+    i = jnp.arange(width, dtype=jnp.int32)
+    valid = i < mid  # (W,)
+    shift = jnp.clip(i + mid, 0, width - 1)
+    hi_all = jnp.take_along_axis(
+        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
+    )
+    zero = jnp.uint32(0)
+    poly = [field.zeros(()) for _ in range(degree + 1)]
+    for prod_index, terms in enumerate(terms_struct):
+        a0 = mles[:, terms[0]]
+        b0 = field.sub(hi_all[:, terms[0]], a0)
+        p = [a0, b0]
+        for t in terms[1:]:
+            a = mles[:, t]
+            b = field.sub(hi_all[:, t], a)
+            new_p = [field.mul(p[0], a)]
+            for k in range(1, len(p)):
+                new_p.append(
+                    field.add(field.mul(p[k], a), field.mul(p[k - 1], b))
+                )
+            new_p.append(field.mul(p[-1], b))
+            p = new_p
+        mult = mults[:, prod_index]
+        for k, coeff in enumerate(p):
+            total = field.tree_sum(jnp.where(valid[None], coeff, zero), width)
+            poly[k] = field.add(poly[k], field.mul(mult, total))
+    return jnp.stack(poly, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
+    """_fold_round keeping full width: lanes beyond the folded mid zeroed."""
+    nl, m, width = mles.shape
+    mid = jnp.asarray(mid, jnp.int32)
+    i = jnp.arange(width, dtype=jnp.int32)
+    shift = jnp.clip(i + mid, 0, width - 1)
+    hi = jnp.take_along_axis(
+        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
+    )
+    folded = field.add(
+        field.mul(one_m_r[:, None], mles), field.mul(r[:, None], hi)
+    )
+    return jnp.where((i < mid)[None, None], folded, jnp.uint32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
 def _sum_round_chunk(field: MontField, lo, hi, mults, terms_struct, degree: int):
     """Chunked round polynomial: same math as _sum_round over one
@@ -401,13 +459,17 @@ def prove_sum(
             arr = jnp.asarray(arr_host)
             arr_host = None
 
+    # resident rounds: arr KEEPS its width (live fold in the first 2*mid
+    # lanes, zeros beyond) and mid is traced — one compiled (sum, fold)
+    # program pair serves all remaining rounds (the static-mid kernels
+    # compiled ~2 programs per round)
     for _ in range(num_variables - len(polynomials)):
         mid = cur // 2 if cur > 1 else 1
         if cur == 1:
             # single-variable base case: pad with a zero half
             arr = jnp.concatenate([arr, field.zeros((num_mles, 1))], axis=-1)
             cur, mid = 2, 1
-        coeffs = _sum_round(field, arr, mults, terms_struct, degree, mid)
+        coeffs = _sum_round_dyn(field, arr, mults, terms_struct, degree, mid)
         poly_ints = field.to_ints(coeffs)
         polynomials.append(poly_ints)
         r = transcript.round_challenge(poly_ints)
@@ -415,7 +477,7 @@ def prove_sum(
         if len(polynomials) < num_variables:
             r_mont = field.from_ints([r])
             one_m_r = field.from_ints([(1 - r) % field.modulus])
-            arr = _fold_round(field, arr, r_mont, one_m_r, mid)
+            arr = _fold_round_dyn(field, arr, r_mont, one_m_r, mid)
             cur = mid
     return polynomials, evaluation_point
 
