@@ -206,8 +206,8 @@ def bench_ipa(ns, samples):
         from blitzar_tpu.fields import params as _params
 
         S = _params.SCALAR25519
-        a_mont = S.from_bytes_le(jnp.asarray(a.T))
-        b_mont = S.from_bytes_le(jnp.asarray(b.T))
+        a_mont = ipa._from_bytes_jit(jnp.asarray(a.T))
+        b_mont = ipa._from_bytes_jit(jnp.asarray(b.T))
         product = S.to_ints(S.inner_product(a_mont, b_mont, n)[..., None])[0]
         a_commit = engine.msm(
             engine.ed.index_batch(g, (slice(0, n),)), [a], [32], [False]

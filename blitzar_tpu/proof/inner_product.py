@@ -85,12 +85,18 @@ def _scalar_rows(values) -> np.ndarray:
     return rows
 
 
+# jitted: eager from_bytes_le dispatches each primitive with full-width
+# intermediates resident (several GB at 2^20 — OOMs next to a live handle
+# table); under jit XLA fuses them down to the output size
+_from_bytes_jit = jax.jit(lambda rows_t: S.from_bytes_le(rows_t))
+
+
 def _mont_from_rows(rows: np.ndarray, length: int):
     """(n, 32) uint8 LE rows -> (nlimbs, length) Montgomery array
     (zero-padded), reduced mod l on device."""
     if rows.shape[0] < length:
         rows = np.pad(rows, ((0, length - rows.shape[0]), (0, 0)))
-    return S.from_bytes_le(jnp.asarray(rows.T))
+    return _from_bytes_jit(jnp.asarray(rows.T))
 
 
 def ceil_log2(n: int) -> int:
@@ -323,15 +329,34 @@ def prove_inner_product(
 # ---------------------------------------------------------------------------
 
 
-def _compute_g_exponents_device(allinv_ap: int, x_sq: list[int]):
-    """g_exponents as a (nlimbs, np) Montgomery array built by log(np)
-    doubling concatenations (reference verification_computation.cc:28-44:
-    block i gets multiplier x_sq in reverse round order)."""
-    arr = S.from_ints([allinv_ap])
-    for m in reversed(x_sq):
-        m_mont = S.from_ints([m])
-        arr = jnp.concatenate([arr, S.mul(m_mont, arr)], axis=-1)
+@functools.partial(jax.jit, static_argnames=("np_",))
+def _g_exponents_jit(allinv_ap_mont, xsq_rev_mont, np_: int):
+    """g_exponents (nlimbs, np_): entry j = allinv*ap * prod over set bits k
+    of j of x_sq[rounds-1-k] (the doubling-concatenation order of reference
+    verification_computation.cc:28-44), as ONE fused program — the eager
+    per-width doubling loop dispatched log(np_) unfused full-width muls."""
+    nl, rounds = xsq_rev_mont.shape
+    j = jnp.arange(np_, dtype=jnp.uint32)
+    arr = jnp.broadcast_to(allinv_ap_mont, (nl, np_))
+    one = jnp.broadcast_to(S.one(())[:, None], (nl, np_))
+    for k in range(rounds):
+        bit = ((j >> k) & 1) == 1
+        factor = jnp.where(
+            bit[None], jnp.broadcast_to(xsq_rev_mont[:, k : k + 1], (nl, np_)), one
+        )
+        arr = S.mul(arr, factor)
     return arr
+
+
+def _compute_g_exponents_device(allinv_ap: int, x_sq: list[int]):
+    """g_exponents as a (nlimbs, np) Montgomery array (block i gets
+    multiplier x_sq in reverse round order)."""
+    rounds = len(x_sq)
+    return _g_exponents_jit(
+        S.from_ints([allinv_ap]),
+        S.from_ints(list(reversed(x_sq))),
+        1 << rounds,
+    )
 
 
 def verify_inner_product(
