@@ -201,14 +201,18 @@ def bench_ipa(ns, samples):
         for _ in range(samples):
             l_vec, r_vec, ap = prove()
         dt_prove = (time.time() - t0) / samples
+        # emit prove NOW so a verify-stage failure doesn't lose it
+        _emit("ipa_prove", {"n": n, "warm_s": round(warm, 2)}, dt_prove)
 
-        # <a, b> mod l on device (python bigint loop is minutes at 2^20)
+        # <a, b> mod l on device, jitted (eager mont muls at 2^20 dispatch
+        # several-GB unfused intermediates and OOM next to the handle table)
         from blitzar_tpu.fields import params as _params
 
         S = _params.SCALAR25519
         a_mont = ipa._from_bytes_jit(jnp.asarray(a.T))
         b_mont = ipa._from_bytes_jit(jnp.asarray(b.T))
-        product = S.to_ints(S.inner_product(a_mont, b_mont, n)[..., None])[0]
+        inner_jit = jax.jit(lambda am, bm: S.inner_product(am, bm, n)[..., None])
+        product = S.to_ints(inner_jit(a_mont, b_mont))[0]
         a_commit = engine.msm(
             engine.ed.index_batch(g, (slice(0, n),)), [a], [32], [False]
         )
@@ -223,7 +227,6 @@ def bench_ipa(ns, samples):
         for _ in range(samples):
             verify()
         dt_verify = (time.time() - t0) / samples
-        _emit("ipa_prove", {"n": n, "warm_s": round(warm, 2)}, dt_prove)
         _emit("ipa_verify", {"n": n}, dt_verify)
 
 

@@ -85,10 +85,15 @@ def _scalar_rows(values) -> np.ndarray:
     return rows
 
 
-# jitted: eager from_bytes_le dispatches each primitive with full-width
-# intermediates resident (several GB at 2^20 — OOMs next to a live handle
-# table); under jit XLA fuses them down to the output size
+# jitted: eager from_bytes_le / inner_product dispatch each mont-reduce
+# primitive with full-width intermediates resident (several GB at 2^20 —
+# OOMs next to a live handle table); under jit XLA fuses them down to the
+# output size
 _from_bytes_jit = jax.jit(lambda rows_t: S.from_bytes_le(rows_t))
+_inner_product_jit = jax.jit(
+    lambda a, b: S.inner_product(a, b, a.shape[-1])[..., None]
+)
+_to_bytes_jit = jax.jit(lambda a: S.to_bytes_le(a))
 
 
 def _mont_from_rows(rows: np.ndarray, length: int):
@@ -407,9 +412,7 @@ def verify_inner_product(
         ]
 
     b_arr = _mont_from_rows(b_rows, n)
-    prod_check = S.to_ints(
-        S.inner_product(g_exp_arr[:, :n], b_arr, n)[..., None]
-    )[0]
+    prod_check = S.to_ints(_inner_product_jit(g_exp_arr[:, :n], b_arr))[0]
 
     # decompress L/R; reject invalid encodings
     if num_rounds:
@@ -421,19 +424,30 @@ def verify_inner_product(
     else:
         lr_pts = ed.identity((0,))
 
-    generators = ed.PointP3(
+    # split the verification MSM: the G term reuses the SAME fixed-generator
+    # engine (and, after a prove over these generators, the SAME cached
+    # handle table) as the prover; the [Q | L | R] term is a tiny 1+2r-point
+    # MSM on the small-n path. One concatenated dynamic MSM over np_ + 41
+    # points would stream a fresh table build next to the resident handle —
+    # slower and enough to exhaust HBM at 2^20 (reference does one combined
+    # MSM because its dynamic engine has no table to reuse,
+    # proof_computation.cc:139-154).
+    g_exp_bytes = np.ascontiguousarray(np.asarray(_to_bytes_jit(g_exp_arr)).T)
+    g_part = engine.msm(g_vector, [g_exp_bytes], [32], [False])
+
+    qlr = ed.PointP3(
         *(
-            jnp.concatenate([qc, gc, lrc], axis=-1)
-            for qc, gc, lrc in zip(q_value, g_vector, lr_pts)
+            jnp.concatenate([qc, lrc], axis=-1)
+            for qc, lrc in zip(q_value, lr_pts)
         )
     )
-    exp_bytes = np.zeros((1 + np_ + 2 * num_rounds, 32), np.uint8)
-    exp_bytes[0] = np.frombuffer(prod_check.to_bytes(32, "little"), np.uint8)
-    exp_bytes[1 : 1 + np_] = np.asarray(S.to_bytes_le(g_exp_arr)).T
+    qlr_bytes = np.zeros((1 + 2 * num_rounds, 32), np.uint8)
+    qlr_bytes[0] = np.frombuffer(prod_check.to_bytes(32, "little"), np.uint8)
     for i, v in enumerate(exp_ints_lr):
-        exp_bytes[1 + np_ + i] = np.frombuffer(v.to_bytes(32, "little"), np.uint8)
+        qlr_bytes[1 + i] = np.frombuffer(v.to_bytes(32, "little"), np.uint8)
+    qlr_part = engine.msm(qlr, [qlr_bytes], [32], [False])
 
-    expected = engine.msm(generators, [exp_bytes], [32], [False])
+    expected = ed.add(g_part, qlr_part)
     expected_bytes = bytes(np.asarray(rst.encode(expected)).T[0])
 
     # commit = product*Q + a_commit

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..fields import params
 from ..fields.mont import MontField
@@ -221,27 +222,19 @@ def _fold_round(field: MontField, mles, r, one_m_r, mid: int):
 # the sharded per-device path and tests) -------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
-def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
-    """_sum_round with mles (nlimbs, num_mles, W), live values in the first
-    2*mid entries; coefficients masked to i < mid before the tree sum."""
-    nl, m, width = mles.shape
-    mid = jnp.asarray(mid, jnp.int32)
-    i = jnp.arange(width, dtype=jnp.int32)
-    valid = i < mid  # (W,)
-    shift = jnp.clip(i + mid, 0, width - 1)
-    hi_all = jnp.take_along_axis(
-        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
-    )
-    zero = jnp.uint32(0)
+def _sum_terms(field: MontField, lo, hi, mults, terms_struct, degree: int):
+    """Shared product-expansion body: (nlimbs, num_mles, C) lo/hi halves ->
+    (nlimbs, degree+1) coefficient sums (used by the chunked kernels and
+    the dynamic-mid round below)."""
+    chunk = lo.shape[-1]
     poly = [field.zeros(()) for _ in range(degree + 1)]
     for prod_index, terms in enumerate(terms_struct):
-        a0 = mles[:, terms[0]]
-        b0 = field.sub(hi_all[:, terms[0]], a0)
+        a0 = lo[:, terms[0]]
+        b0 = field.sub(hi[:, terms[0]], a0)
         p = [a0, b0]
         for t in terms[1:]:
-            a = mles[:, t]
-            b = field.sub(hi_all[:, t], a)
+            a = lo[:, t]
+            b = field.sub(hi[:, t], a)
             new_p = [field.mul(p[0], a)]
             for k in range(1, len(p)):
                 new_p.append(
@@ -251,9 +244,47 @@ def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid
             p = new_p
         mult = mults[:, prod_index]
         for k, coeff in enumerate(p):
-            total = field.tree_sum(jnp.where(valid[None], coeff, zero), width)
+            total = field.tree_sum(coeff, chunk)
             poly[k] = field.add(poly[k], field.mul(mult, total))
     return jnp.stack(poly, axis=-1)
+
+
+# width of one lax.map step in the dynamic-mid round: bounds the product
+# expansion's temps (the unchunked full-width expansion peaked at ~22 GB of
+# HLO temps at 2^20 x deg 3)
+_DYN_SUM_CHUNK = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
+    """_sum_round with mles (nlimbs, num_mles, W), live values in the first
+    2*mid entries and mid TRACED. Lanes at or beyond mid are zeroed in both
+    halves (zero products contribute nothing), then the expansion runs in
+    fixed-width lax.map chunks so temps stay chunk-sized."""
+    nl, m, width = mles.shape
+    mid = jnp.asarray(mid, jnp.int32)
+    i = jnp.arange(width, dtype=jnp.int32)
+    valid = (i < mid)[None, None]
+    shift = jnp.clip(i + mid, 0, width - 1)
+    hi_all = jnp.take_along_axis(
+        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
+    )
+    zero = jnp.uint32(0)
+    lo_m = jnp.where(valid, mles, zero)
+    hi_m = jnp.where(valid, hi_all, zero)
+    c = min(width, _DYN_SUM_CHUNK)
+    nc = width // c
+    if nc <= 1:
+        return _sum_terms(field, lo_m, hi_m, mults, terms_struct, degree)
+    lo_ch = jnp.moveaxis(lo_m.reshape(nl, m, nc, c), 2, 0)
+    hi_ch = jnp.moveaxis(hi_m.reshape(nl, m, nc, c), 2, 0)
+
+    def chunk(args):
+        lo_c, hi_c = args
+        return _sum_terms(field, lo_c, hi_c, mults, terms_struct, degree)
+
+    parts = lax.map(chunk, (lo_ch, hi_ch))  # (nc, nlimbs, degree+1)
+    return field.tree_sum(jnp.moveaxis(parts, 0, -1), nc)
 
 
 @functools.partial(jax.jit, static_argnames=("field",))
