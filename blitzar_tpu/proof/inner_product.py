@@ -135,29 +135,30 @@ def _round_exponents(a, b, mu, mid, np_: int):
 
     (L = <a_lo, G_hi^(k)> and G_hi^(k)[i] = sum_{j mod n_k == mid+i}
     mu_j G_j — see module docstring.)"""
+    from ..utils import lanes as _lanes
+
     nl = a.shape[0]
     mid = jnp.asarray(mid, jnp.int32)
     j = jnp.arange(np_, dtype=jnp.int32)
-    idx = j & (2 * mid - 1)  # j mod n_k (n_k a power of two)
-    hi = idx >= mid
+    n_k = 2 * mid
+    zero = jnp.uint32(0)
 
-    def take(arr, pos):
-        safe = jnp.clip(pos, 0, np_ - 1)
-        return jnp.take_along_axis(
-            arr, jnp.broadcast_to(safe[None], (nl, np_)), axis=1
-        )
-
-    a_lo_g = take(a, idx - mid)  # a_lo[(j mod n_k) - mid] for the hi slots
-    a_hi_g = take(a, idx + mid)  # a_hi[i] = a[mid + i], i = idx for lo slots
-    e_l = jnp.where(hi[None], S.mul(mu, a_lo_g), jnp.uint32(0))
-    e_r = jnp.where(hi[None], jnp.uint32(0), S.mul(mu, a_hi_g))
+    # all index arithmetic is shifts/periodic tilings — XLA:TPU general
+    # gathers run on the scalar core and cost seconds at 2^20 (utils/lanes)
+    # base_l[u] = a[u - mid] for mid <= u < n_k (the a_lo pattern at the hi
+    # slots of one period), then tiled periodically across np_
+    base_l = jnp.where((j < n_k)[None], _lanes.shift_up(a, mid), zero)
+    e_l = S.mul(mu, _lanes.tile_periodic(base_l, n_k))
+    # base_r[u] = a[mid + u] for u < mid (the a_hi pattern at the lo slots)
+    base_r = jnp.where((j < mid)[None], _lanes.shift_down(a, mid), zero)
+    e_r = S.mul(mu, _lanes.tile_periodic(base_r, n_k))
 
     # cL = <a_lo, b_hi> = sum_{i < mid} a[i] * b[i + mid]; cR symmetric
     valid = (j < mid)[None]
-    b_sh = take(b, j + mid)
-    a_sh = take(a, j + mid)
-    c_l = S.tree_sum(jnp.where(valid, S.mul(a, b_sh), jnp.uint32(0)), np_)[..., None]
-    c_r = S.tree_sum(jnp.where(valid, S.mul(a_sh, b), jnp.uint32(0)), np_)[..., None]
+    b_sh = _lanes.shift_down(b, mid)
+    a_sh = _lanes.shift_down(a, mid)
+    c_l = S.tree_sum(jnp.where(valid, S.mul(a, b_sh), zero), np_)[..., None]
+    c_r = S.tree_sum(jnp.where(valid, S.mul(a_sh, b), zero), np_)[..., None]
 
     g_bytes = jnp.stack([S.to_bytes_le(e_l).T, S.to_bytes_le(e_r).T])
     q_bytes = jnp.stack([S.to_bytes_le(c_l).T, S.to_bytes_le(c_r).T])
@@ -207,33 +208,30 @@ def _fold(a, b, mu, x_mont, xinv_mont, mid):
     np_-wide (folded values in the first mid entries, zeros beyond — so ONE
     compiled program serves every round, mid traced); mu stays np_-wide
     (mu_j *= x^-1 where j sat in the lo half of its block, x where hi)."""
+    from ..utils import lanes as _lanes
+
     nl, np_ = mu.shape
     mid = jnp.asarray(mid, jnp.int32)
     j = jnp.arange(np_, dtype=jnp.int32)
-
-    def take(arr, pos):
-        safe = jnp.clip(pos, 0, np_ - 1)
-        return jnp.take_along_axis(
-            arr, jnp.broadcast_to(safe[None], (nl, np_)), axis=1
-        )
+    zero = jnp.uint32(0)
 
     keep = (j < mid)[None]
-    a_sh = take(a, j + mid)
-    b_sh = take(b, j + mid)
+    a_sh = _lanes.shift_down(a, mid)
+    b_sh = _lanes.shift_down(b, mid)
     a_next = jnp.where(
-        keep, S.add(S.mul(x_mont, a), S.mul(xinv_mont, a_sh)), jnp.uint32(0)
+        keep, S.add(S.mul(x_mont, a), S.mul(xinv_mont, a_sh)), zero
     )
     b_next = jnp.where(
-        keep, S.add(S.mul(xinv_mont, b), S.mul(x_mont, b_sh)), jnp.uint32(0)
+        keep, S.add(S.mul(xinv_mont, b), S.mul(x_mont, b_sh)), zero
     )
 
-    idx = j & (2 * mid - 1)
-    lo_blk = (idx < mid)[None]
-    factor = jnp.where(
-        lo_blk,
-        jnp.broadcast_to(xinv_mont, (nl, np_)),
-        jnp.broadcast_to(x_mont, (nl, np_)),
-    )
+    # mu factor: xinv on each period's lo half, x on its hi half — built as
+    # one period then tiled (no gather)
+    n_k = 2 * mid
+    xinv_b = jnp.broadcast_to(xinv_mont, (nl, np_))
+    x_b = jnp.broadcast_to(x_mont, (nl, np_))
+    base_f = jnp.where(keep, xinv_b, jnp.where((j < n_k)[None], x_b, zero))
+    factor = _lanes.tile_periodic(base_f, n_k)
     mu_next = S.mul(mu, factor)
     return a_next, b_next, mu_next
 

@@ -60,6 +60,14 @@ class FieldCodec:
         raise NotImplementedError
 
 
+@functools.partial(jax.jit, static_argnames=("field",))
+def _from_bytes_field_jit(field, flat):
+    """Jitted byte->Montgomery conversion: the eager version dispatches
+    every mont-reduce primitive with full-width intermediates resident —
+    ~6 GB of transients for a 3 x 2^20 MLE table."""
+    return field.from_bytes_le(flat)
+
+
 class _Scalar25519Codec(FieldCodec):
     def element_to_transcript_bytes(self, value: int) -> bytes:
         return (value % self.field.modulus).to_bytes(32, "little")
@@ -75,7 +83,7 @@ class _Scalar25519Codec(FieldCodec):
         if n < n_pad:
             rows = np.pad(rows, ((0, 0), (0, n_pad - n), (0, 0)))
         flat = np.ascontiguousarray(rows.reshape(num_mles * n_pad, nb).T)
-        arr = self.field.from_bytes_le(jnp.asarray(flat))
+        arr = _from_bytes_field_jit(self.field, jnp.asarray(flat))
         return arr.reshape(self.field.nlimbs, num_mles, n_pad)
 
 
@@ -261,14 +269,15 @@ def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid
     2*mid entries and mid TRACED. Lanes at or beyond mid are zeroed in both
     halves (zero products contribute nothing), then the expansion runs in
     fixed-width lax.map chunks so temps stay chunk-sized."""
+    from ..utils import lanes as _lanes
+
     nl, m, width = mles.shape
     mid = jnp.asarray(mid, jnp.int32)
     i = jnp.arange(width, dtype=jnp.int32)
     valid = (i < mid)[None, None]
-    shift = jnp.clip(i + mid, 0, width - 1)
-    hi_all = jnp.take_along_axis(
-        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
-    )
+    # hi[j] = mles[j + mid]: a SHIFT, not a gather (XLA:TPU general gathers
+    # run on the scalar core — ~15-20 s for one (16, 3, 2^20) gather)
+    hi_all = _lanes.shift_down(mles, mid)
     zero = jnp.uint32(0)
     lo_m = jnp.where(valid, mles, zero)
     hi_m = jnp.where(valid, hi_all, zero)
@@ -290,13 +299,12 @@ def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid
 @functools.partial(jax.jit, static_argnames=("field",))
 def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
     """_fold_round keeping full width: lanes beyond the folded mid zeroed."""
+    from ..utils import lanes as _lanes
+
     nl, m, width = mles.shape
     mid = jnp.asarray(mid, jnp.int32)
     i = jnp.arange(width, dtype=jnp.int32)
-    shift = jnp.clip(i + mid, 0, width - 1)
-    hi = jnp.take_along_axis(
-        mles, jnp.broadcast_to(shift[None, None], mles.shape), axis=2
-    )
+    hi = _lanes.shift_down(mles, mid)
     folded = field.add(
         field.mul(one_m_r[:, None], mles), field.mul(r[:, None], hi)
     )
