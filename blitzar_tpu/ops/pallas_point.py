@@ -1005,3 +1005,141 @@ def doubling_combine(products, num_bits: int, interpret: bool = False):
 
 def combine_fits(o: int, num_bits: int) -> bool:
     return o * num_bits * 4 * F.NLIMBS * 4 * 3 <= COMBINE_VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# fused sumcheck round kernels (generic MontField, diag mode — the same
+# pattern as the Weierstrass kernels above): the round-polynomial product
+# expansion and the fold both run entirely in VMEM. The inline-XLA skew
+# multiplies materialize (nl, nl, lanes) outer products in HBM per multiply,
+# which made each 2^20 round cost ~2 s; in-kernel the whole expansion is
+# register/VMEM traffic (reference counterpart: sumcheck's fused
+# partial_sum_kernel, proof/sumcheck/sum_gpu.h:60-149).
+# ---------------------------------------------------------------------------
+
+MONT_SUM_BLK = 1024  # lanes per grid step (VMEM: (nl, m, blk) x 2 inputs
+# + ~degree+2 live (nl, blk) expansion temps — a few MB for nl=16, m<=8)
+
+
+def _mont_sum_body_factory(field, terms_struct, degree: int, blk: int):
+    from ..fields import mont as _mont
+
+    nl = field.nlimbs
+
+    def body(lo_ref, hi_ref, mults_ref, out_ref):
+        with _mont.diag_mode():
+            lo = lo_ref[:]
+            hi = hi_ref[:]
+            mults = mults_ref[:]
+            poly = [None] * (degree + 1)
+            for prod_index, terms in enumerate(terms_struct):
+                a0 = lo[:, terms[0]]
+                b0 = field.sub(hi[:, terms[0]], a0)
+                p = [a0, b0]
+                for t in terms[1:]:
+                    a = lo[:, t]
+                    b = field.sub(hi[:, t], a)
+                    new_p = [field.mul(p[0], a)]
+                    for k in range(1, len(p)):
+                        new_p.append(
+                            field.add(field.mul(p[k], a), field.mul(p[k - 1], b))
+                        )
+                    new_p.append(field.mul(p[-1], b))
+                    p = new_p
+                mult_b = jnp.broadcast_to(
+                    mults[:, prod_index : prod_index + 1], (nl, LANES)
+                )
+                for k, coeff in enumerate(p):
+                    red = coeff
+                    size = blk
+                    while size > LANES:
+                        half = size // 2
+                        red = field.add(red[..., :half], red[..., half:])
+                        size = half
+                    term = field.mul(mult_b, red)
+                    poly[k] = term if poly[k] is None else field.add(poly[k], term)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            for k in range(degree + 1):
+                out_ref[k] = field.add(out_ref[k], poly[k])
+
+    return body
+
+
+@functools.partial(
+    jax.jit, static_argnames=("field", "terms_struct", "degree", "interpret")
+)
+def mont_sum_round(field, lo, hi, mults, terms_struct, degree: int, interpret=False):
+    """lo, hi: (nl, m, W) u32 Montgomery half-cubes (W % MONT_SUM_BLK == 0);
+    mults: (nl, P). Returns (nl, degree+1) coefficient sums over all lanes."""
+    nl, m, w = lo.shape
+    blk = MONT_SUM_BLK
+    num_p = mults.shape[1]
+    out = pl.pallas_call(
+        _mont_sum_body_factory(field, terms_struct, degree, blk),
+        grid=(w // blk,),
+        in_specs=[
+            pl.BlockSpec((nl, m, blk), lambda i: (0, 0, i)),
+            pl.BlockSpec((nl, m, blk), lambda i: (0, 0, i)),
+            pl.BlockSpec((nl, num_p), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((degree + 1, nl, LANES), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((degree + 1, nl, LANES), jnp.uint32),
+        interpret=interpret,
+    )(lo, hi, mults)
+    # fold the 128 residual lanes (tiny, inline XLA)
+    coeffs = [field.tree_sum(out[k], LANES) for k in range(degree + 1)]
+    return jnp.stack(coeffs, axis=-1)
+
+
+def mont_sum_round_fits(field, m: int, w: int, degree: int) -> bool:
+    vmem = (2 * m + (degree + 3)) * field.nlimbs * MONT_SUM_BLK * 4
+    return (
+        use_pallas()
+        and w >= MONT_SUM_BLK
+        and w % MONT_SUM_BLK == 0
+        and vmem < (10 << 20)
+    )
+
+
+def _mont_fold_body_factory(field, m: int):
+    from ..fields import mont as _mont
+
+    def body(lo_ref, hi_ref, r_ref, omr_ref, out_ref):
+        with _mont.diag_mode():
+            # per-mle rows: Mosaic can't broadcast across sublanes AND
+            # lanes in one op, so keep every operand (nl, blk)-shaped
+            r_row = r_ref[:]
+            omr_row = omr_ref[:]
+            for t in range(m):
+                out_ref[:, t] = field.add(
+                    field.mul(omr_row, lo_ref[:, t]),
+                    field.mul(r_row, hi_ref[:, t]),
+                )
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("field", "interpret"))
+def mont_fold_round(field, lo, hi, r, one_m_r, interpret=False):
+    """(nl, m, W) lo/hi -> (1-r)*lo + r*hi, one fused kernel."""
+    nl, m, w = lo.shape
+    blk = MONT_SUM_BLK
+    r_b = jnp.broadcast_to(r, (nl, blk))
+    omr_b = jnp.broadcast_to(one_m_r, (nl, blk))
+    return pl.pallas_call(
+        _mont_fold_body_factory(field, m),
+        grid=(w // blk,),
+        in_specs=[
+            pl.BlockSpec((nl, m, blk), lambda i: (0, 0, i)),
+            pl.BlockSpec((nl, m, blk), lambda i: (0, 0, i)),
+            pl.BlockSpec((nl, blk), lambda i: (0, 0)),
+            pl.BlockSpec((nl, blk), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nl, m, blk), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((nl, m, w), jnp.uint32),
+        interpret=interpret,
+    )(lo, hi, r_b, omr_b)

@@ -281,6 +281,12 @@ def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid
     zero = jnp.uint32(0)
     lo_m = jnp.where(valid, mles, zero)
     hi_m = jnp.where(valid, hi_all, zero)
+    from ..ops import pallas_point as pp
+
+    if pp.mont_sum_round_fits(field, m, width, degree):
+        # whole expansion in VMEM: the inline-XLA skew multiply
+        # materializes (nl, nl, lanes) outer products in HBM per multiply
+        return pp.mont_sum_round(field, lo_m, hi_m, mults, terms_struct, degree)
     c = min(width, _DYN_SUM_CHUNK)
     nc = width // c
     if nc <= 1:
@@ -305,9 +311,14 @@ def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
     mid = jnp.asarray(mid, jnp.int32)
     i = jnp.arange(width, dtype=jnp.int32)
     hi = _lanes.shift_down(mles, mid)
-    folded = field.add(
-        field.mul(one_m_r[:, None], mles), field.mul(r[:, None], hi)
-    )
+    from ..ops import pallas_point as pp
+
+    if pp.mont_sum_round_fits(field, m, width, 0):
+        folded = pp.mont_fold_round(field, mles, hi, r, one_m_r)
+    else:
+        folded = field.add(
+            field.mul(one_m_r[:, None], mles), field.mul(r[:, None], hi)
+        )
     return jnp.where((i < mid)[None, None], folded, jnp.uint32(0))
 
 

@@ -45,10 +45,14 @@ def tile_periodic(x, period):
     gather."""
     w = x.shape[-1]
     out = x
-    filled = period
+    # clamp to W after every doubling: a shift by W is a no-op (all zeros),
+    # and an UNclamped filled overflows int32 within 20 doublings at large
+    # periods — the negative shift then slices the array onto itself and
+    # silently doubles values (only reproducible at W >~ 2^12)
+    filled = jnp.minimum(jnp.asarray(period, jnp.int32), w)
     steps = max(w.bit_length() - 1, 0)  # log2(W) for power-of-two W
     for _ in range(steps):
-        shifted = shift_up(out, jnp.minimum(filled, w))
+        shifted = shift_up(out, filled)
         out = out + shifted  # disjoint supports: plain add is an OR
-        filled = filled * 2
+        filled = jnp.minimum(filled * 2, jnp.int32(w))
     return out
