@@ -75,7 +75,9 @@ def _scan_unroll() -> bool:
     dryrun and the test suite) but fully unrolled on TPU (identical graphs to
     the hand-unrolled form; the hot paths are Pallas kernels either way).
     Same math, same evaluation order, bit-identical values on both."""
-    return jax.default_backend() == "tpu"
+    from ..utils.backend import compute_platform
+
+    return compute_platform() == "tpu"
 
 
 def _carry_pass(limbs):

@@ -109,7 +109,9 @@ class MontField:
         """Rolled lax.scan carry/borrow chains on CPU (small HLO; XLA:CPU
         compile time binds the dryrun/test suite), unrolled on TPU (identical
         graphs to the hand-unrolled form). Bit-identical values either way."""
-        return jax.default_backend() == "tpu"
+        from ..utils.backend import compute_platform
+
+        return compute_platform() == "tpu"
 
     def _carry_rows(self, rows):
         """Carry propagation; diag (Pallas) mode keeps the unrolled python

@@ -294,7 +294,9 @@ def ristretto_generators(n: int, offset: int = 0) -> ed.PointP3:
         cached = _disk_load(n)
         if cached is not None:
             return cached
-    if n <= _HOST_MAX and jax.default_backend() == "cpu":
+    from .utils.backend import compute_platform
+
+    if n <= _HOST_MAX and compute_platform() == "cpu":
         return _host_generators(n, offset)
     if n >= _DEVICE_CHUNK and n % _DEVICE_CHUNK == 0:
         pts = _generators_device(offset, n)

@@ -43,7 +43,9 @@ def _table_dtype():
     this host's XLA:CPU thunk runtime cannot execute batched bf16 dots
     ("Unsupported element type for DotThunk"), and f32 is exact for bytes
     anyway. Both are bit-identical through the integer reconstruction."""
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    from ..utils.backend import compute_platform
+
+    return jnp.bfloat16 if compute_platform() == "tpu" else jnp.float32
 
 
 def default_window_width() -> int:
@@ -72,7 +74,9 @@ def auto_window_width(n: int, curve=ed) -> int:
     if v:
         return int(v)
     budget = int(os.environ.get("BLITZAR_TPU_TABLE_BUDGET_BYTES", str(10 << 30)))
-    itemsize = 2 if jax.default_backend() == "tpu" else 4
+    from ..utils.backend import compute_platform
+
+    itemsize = 2 if compute_platform() == "tpu" else 4
     w = 8
     while w > 4 and (max(n, 1) / w) * (1 << w) * 2 * _split_l(curve) * itemsize > budget:
         w //= 2

@@ -36,7 +36,9 @@ def use_pallas() -> bool:
     env = os.environ.get("BLITZAR_TPU_USE_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    from ..utils.backend import compute_platform
+
+    return compute_platform() == "tpu"
 
 
 # ---------------------------------------------------------------------------
