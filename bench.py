@@ -73,16 +73,14 @@ WINDOW = int(os.environ.get("BLITZAR_TPU_BENCH_WINDOW", "8" if LOG_N <= 20 else 
 
 def main():
     n = 1 << LOG_N
-    # overlap the build/query XLA compiles with generator derivation: AOT
-    # compile on a background thread, populating the persistent cache the
-    # jit entry points below then load from (cold compiles are ~25 s build +
-    # ~70 s query on the tunnel; derivation is device work, so they stack
-    # without this)
-    t_build, t_query = fixed.precompile_async(n, WINDOW, NUM_OUTPUTS, 8 * NBYTES)
+    # NOTE on fixed.precompile_async: overlapping the AOT compiles with
+    # generator derivation helps a COLD cache (~90 s saved), but on this
+    # 1-core host the threads' Python tracing (never cached) starves the
+    # warm path and inflated setup_s 18 s -> 115 s. The driver environment
+    # keeps /tmp warm across rounds, so bench stays sequential.
     t0 = time.time()
     points = gen.ristretto_generators(n)
     np.asarray(points.x[:1, :1])  # generators resident before the build
-    t_build.join()
     handle = fixed.MultiexpHandle(points, window_width=WINDOW)
     np.asarray(handle.t_split[:1, :1, :1])  # force completion
     t_setup = time.time() - t0
@@ -96,7 +94,6 @@ def main():
     sdev = jnp.asarray(scalars)
 
     t0 = time.time()
-    t_query.join()  # any remaining overlap-compile wait counts as compile
     out = fixed._query_jit(
         handle.t_split, sdev, WINDOW, NUM_OUTPUTS, 8 * NBYTES, ed
     )

@@ -5,6 +5,8 @@ against a naive host sum, deterministic seeds."""
 
 import random
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,6 +80,7 @@ def test_n_zero_descriptor_mixed_with_nonempty():
     run_case([[], [-3]], [2, 2], [True, True])
 
 
+@pytest.mark.slow
 def test_signed_16_byte_boundary():
     # element_nbytes = 16 is the widest signed width the ABI admits
     # (reference populate_exponent_sequence rejects signed > 16 bytes);
@@ -92,6 +95,7 @@ def test_ragged_lengths():
     run_case([[1, 2, 3, 4, 5, 6, 7], [9, 8], []], [2, 2, 2], [False] * 3)
 
 
+@pytest.mark.slow
 def test_random_problems():
     for trial in range(4):
         num_outputs = rng.randrange(1, 4)
@@ -111,6 +115,7 @@ def test_random_problems():
         run_case(seqs, nbytes_list, signed_list)
 
 
+@pytest.mark.slow
 def test_skewed_buckets_multiround():
     # all scalars identical: one bucket holds every point -> multiple
     # while-loop rounds with tiny capacity
@@ -144,6 +149,7 @@ def _run_skewed_buckets():
     assert encode_np(got) == [want]
 
 
+@pytest.mark.slow
 def test_small_n_promotes_to_cached_handle(monkeypatch):
     # the small-n streamed path runs a fresh generator set once; a SECOND
     # msm over the same live array must promote to a cached w=8 handle so

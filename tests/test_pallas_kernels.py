@@ -107,6 +107,7 @@ def test_niels_add_and_madd_interpret(points):
     ).all()
 
 
+@pytest.mark.slow
 def test_ed_lookup_msm_interpret():
     """The fused lookup+accumulate kernel (msm fast path) vs a pure-Python
     subset-sum oracle."""
@@ -136,6 +137,7 @@ def test_ed_lookup_msm_interpret():
         assert bytes(got_bytes[r]) == R.ristretto_encode(acc), f"row {r}"
 
 
+@pytest.mark.slow
 def test_w_lookup_msm_interpret():
     """The curve-generic fused lookup+accumulate kernel (Weierstrass msm
     fast path) vs the curve oracle."""
@@ -183,6 +185,7 @@ class _FakeRef:
         self.val = v
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("form", ["niels", "cached"])
 def test_build_split_table_body_ed(form):
     """The fused partition-table build kernel body vs the chunked XLA build
@@ -206,6 +209,7 @@ def test_build_split_table_body_ed(form):
     assert (np.asarray(out.val) == expect).all()
 
 
+@pytest.mark.slow
 def test_build_split_table_body_weierstrass():
     import jax.numpy as jnp
 
