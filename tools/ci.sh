@@ -19,8 +19,11 @@ fi
 echo "== fast host-only tests =="
 python -m pytest tests/test_limbs.py tests/test_transcript.py tests/test_refimpl.py -q
 
-echo "== full suite (virtual 8-device CPU mesh) =="
-python -m pytest tests/ -q
+echo "== full suite incl. slow tier (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q -m ""
+# (the interpret-mode kernel tier needs BLITZAR_TPU_RUN_INTERPRET=1 and
+# hours of XLA:CPU compile — run it manually when kernels change; kernel
+# correctness is also checked on hardware via pallas-vs-fallback equality)
 
 echo "== multi-host simulation (2 jax.distributed processes x 4 CPU devices) =="
 python tools/multihost_sim.py
