@@ -15,6 +15,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_capi_end_to_end(tmp_path):
     if shutil.which("g++") is None:
         pytest.skip("no g++")

@@ -146,10 +146,13 @@ ENGINES = {
 @pytest.mark.parametrize(
     "engine_name",
     [
-        # the bucket engine compiles its sort+while_loop program UNCACHED
-        # every run (persistent-cache serialization aborts XLA:CPU) — ~5
-        # minutes on this host, so it runs in the full/CI profile only
-        pytest.param(name, marks=pytest.mark.slow) if name == "bucket"
+        # bucket: compiles its sort+while_loop program UNCACHED every run
+        # (persistent-cache serialization aborts XLA:CPU) — ~5 min;
+        # sharded1d: 8-device mesh compile of the full engine (~5 min; the
+        # 2-D mesh case and test_msm_sharded keep fast-profile mesh
+        # coverage). Both run in the full/CI profile.
+        pytest.param(name, marks=pytest.mark.slow)
+        if name in ("bucket", "sharded1d")
         else name
         for name in ENGINES
     ],
