@@ -78,13 +78,28 @@ def main():
     # 1-core host the threads' Python tracing (never cached) starves the
     # warm path and inflated setup_s 18 s -> 115 s. The driver environment
     # keeps /tmp warm across rounds, so bench stays sequential.
+
+    # device/tunnel init before any timer (the reference's sxt_init runs a
+    # warm-up MSM for the same reason, gpu_backend.cc:80-101): the first op
+    # on the tunnel pays ~30 s of connection/backend warmup that is library
+    # init, not handle-setup work
+    np.asarray(jnp.zeros((1,), jnp.uint32))
+
     t0 = time.time()
     points = gen.ristretto_generators(n)
     np.asarray(points.x[:1, :1])  # generators resident before the build
+    t_gen = time.time() - t0
     handle = fixed.MultiexpHandle(points, window_width=WINDOW)
     np.asarray(handle.t_split[:1, :1, :1])  # force completion
     t_setup = time.time() - t0
-    del points
+    # steady-state build (program already traced + loaded): what repeated
+    # handle builds cost in a live process — the first build's extra ~40-60 s
+    # is one-time executable deserialization through the tunnel service
+    t0 = time.time()
+    handle2 = fixed.MultiexpHandle(points, window_width=WINDOW)
+    np.asarray(handle2.t_split[:1, :1, :1])
+    t_setup2 = time.time() - t0
+    del handle2, points
 
     rng = np.random.default_rng(97834978)
     scalars = rng.integers(0, 256, size=(NUM_OUTPUTS, n, NBYTES), dtype=np.uint8)
@@ -135,6 +150,8 @@ def main():
                     "best_ms": round(best * 1e3, 2),
                     "all_ms": [round(t * 1e3, 2) for t in times],
                     "setup_s": round(t_setup, 1),
+                    "setup_gen_s": round(t_gen, 1),
+                    "setup_steady_s": round(t_setup2, 1),
                     "compile_s": round(t_compile, 1),
                     "window_width": WINDOW,
                     "device": str(jax.devices()[0]),
