@@ -73,8 +73,8 @@ WINDOW = int(os.environ.get("BLITZAR_TPU_BENCH_WINDOW", "8" if LOG_N <= 20 else 
 
 def main():
     n = 1 << LOG_N
-    # NOTE on fixed.precompile_async: overlapping the AOT compiles with
-    # generator derivation helps a COLD cache (~90 s saved), but on this
+    # NOTE: a background-thread AOT precompile (overlapping the cold XLA
+    # compiles with generator derivation) was tried and removed — on this
     # 1-core host the threads' Python tracing (never cached) starves the
     # warm path and inflated setup_s 18 s -> 115 s. The driver environment
     # keeps /tmp warm across rounds, so bench stays sequential.

@@ -83,6 +83,10 @@ class _Backend:
     def reset(self):
         self.initialized = False
         self.mesh = None
+        # undo a cpu-backend device pin so a later init("auto"/"tpu") in the
+        # same process dispatches to the accelerator again
+        if jax.config.jax_default_device is not None:
+            jax.config.update("jax_default_device", None)
         _gen.CACHE.reset()
 
 
@@ -121,7 +125,9 @@ def init(backend: str = "auto", num_precomputed_generators: int = 0, mesh=None):
             log.warning("cpu backend requested but no host cpu platform available")
     if mesh is not None:
         _BACKEND.mesh = mesh
-    elif len(jax.devices()) > 1:
+    elif backend != "cpu" and len(jax.devices()) > 1:
+        # cpu backend on an accelerator host: skip mesh auto-creation so the
+        # sharded MSM paths don't silently dispatch to the accelerator chips
         _BACKEND.mesh = _sharded.make_mesh()
     _BACKEND.initialized = True
     if num_precomputed_generators:

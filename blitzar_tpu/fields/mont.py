@@ -33,6 +33,11 @@ MASK = 0xFFFF
 _DIAG = [False]
 
 
+@functools.partial(jax.jit, static_argnames=("field",))
+def _from_mont_jit(field, a):
+    return field.from_mont(a)
+
+
 @contextlib.contextmanager
 def diag_mode():
     """Trace-time switch to the Pallas-friendly diagonal limb product."""
@@ -74,8 +79,11 @@ class MontField:
         return jnp.asarray(out)
 
     def to_ints(self, arr) -> list[int]:
-        """Montgomery-form (nlimbs, n) -> python ints (standard form)."""
-        std = np.asarray(self.from_mont(arr))
+        """Montgomery-form (nlimbs, n) -> python ints (standard form).
+        The device conversion runs under jit: the eager variant dispatched
+        every mont-reduce primitive separately — ~30 round trips through the
+        device tunnel for a 4-element coefficient array."""
+        std = np.asarray(_from_mont_jit(self, arr))
         return [
             sum(int(std[i, j]) << (16 * i) for i in range(self.nlimbs))
             for j in range(std.shape[1])

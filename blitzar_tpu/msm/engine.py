@@ -256,19 +256,29 @@ _HANDLE_CACHE_SLOTS = 4
 
 
 def _content_digest(points, n: int, curve) -> bytes:
-    """Digest of the first/last 4 points' x-limbs + n. Two distinct
-    generator sets sharing 8 boundary points are effectively impossible for
-    the curve-point inputs this caches; cost is a tiny D2H slice."""
+    """Digest of boundary + stride-sampled interior points (x AND y limbs)
+    plus n. Sampling both coordinates defeats the sign-flip collision (y
+    negation preserves every x) and interior-only edits; 64 sampled points
+    across the array make an accidental collision for real generator sets
+    effectively impossible. Cost is a small D2H gather."""
     import hashlib
 
-    x = points.x
-    head = np.asarray(x[:, : min(4, n)])
-    tail = np.asarray(x[:, max(n - 4, 0) : n])
+    k = min(64, n)
+    # boundary-biased sample: always the first/last 4, plus an even stride
+    idx = np.unique(
+        np.concatenate(
+            [
+                np.arange(min(4, n)),
+                np.arange(max(n - 4, 0), n),
+                np.linspace(0, n - 1, num=k, dtype=np.int64),
+            ]
+        )
+    )
     h = hashlib.blake2b(digest_size=16)
     h.update(n.to_bytes(8, "little"))
     h.update(curve.name.encode())
-    h.update(head.tobytes())
-    h.update(tail.tobytes())
+    h.update(np.asarray(points.x[:, idx]).tobytes())
+    h.update(np.asarray(points.y[:, idx]).tobytes())
     return h.digest()
 
 

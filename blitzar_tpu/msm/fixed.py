@@ -368,69 +368,6 @@ def _handle_n_pad(n: int, w: int, curve) -> int:
     return n_pad
 
 
-def precompile_async(
-    n: int, window_width: int = 8, num_outputs: int = 1, nbits: int = 256,
-    curve=ed,
-):
-    """Start a background AOT compile of the handle-build and query programs
-    for the given shapes; returns the Thread (join before first use for
-    deterministic timing, or ignore it).
-
-    The cold XLA compiles cost ~25 s (build) + ~70 s (query) on the TPU
-    tunnel; overlapping them with generator derivation/upload cuts
-    sxt_multiexp_handle_new's cold wall time accordingly. Compiled
-    executables land in the persistent compilation cache, so the later jit
-    entry points load instead of recompiling. (Reference analog: the PTX-JIT
-    warm-up MSM at init, gpu_backend.cc:80-101.)"""
-    import threading
-
-    w = window_width
-    n_pad = _handle_n_pad(n, w, curve)
-    groups = n_pad // w
-    gc = _table_chunk_groups(groups)
-
-    def work_build():
-        try:
-            from ..ops import pallas_point as pp
-
-            pts_sds = curve.make_point(
-                *(
-                    jax.ShapeDtypeStruct((curve.nlimbs, n_pad), jnp.uint32)
-                    for _ in range(curve.coord_count)
-                )
-            )
-            if (
-                pp.use_pallas()
-                and pp.build_split_fits(groups, w)
-                and gc % pp._build_bg(w) == 0
-            ):
-                _build_split_pallas.lower(
-                    pts_sds, window_width=w, curve=curve, form="niels", gc=gc
-                ).compile()
-        except Exception:
-            # best-effort: a failed precompile just means the jit entry
-            # compiles inline as before
-            pass
-
-    def work_query():
-        try:
-            ts = jax.ShapeDtypeStruct(
-                (groups // gc, gc, 2 * _split_l(curve), 1 << w), _table_dtype()
-            )
-            sc = jax.ShapeDtypeStruct(
-                (num_outputs, groups * w, nbits // 8), jnp.uint8
-            )
-            _query_jit.lower(ts, sc, w, num_outputs, nbits, curve).compile()
-        except Exception:
-            pass
-
-    t_build = threading.Thread(target=work_build, daemon=True)
-    t_query = threading.Thread(target=work_query, daemon=True)
-    t_build.start()
-    t_query.start()
-    return t_build, t_query
-
-
 class MultiexpHandle:
     """Reference sxt_multiexp_handle (blitzar_api.h:184, multiexp_handle.h):
     precomputed partition tables for a fixed generator sequence."""
@@ -935,19 +872,6 @@ def fixed_multiexponentiation(handle: MultiexpHandle, scalars) -> "ed.PointP3":
     )
 
 
-def _unpack_packed_scalars(
-    scalars: np.ndarray, output_bit_table, n: int
-) -> np.ndarray:
-    """Packed column-major scalars (reference blitzar_api.h:712-733) ->
-    (bit_sum, n) bit rows. Row order: output 0's bits LSB-first, then
-    output 1's, ... matching the packed bit layout."""
-    bit_sum = int(sum(output_bit_table))
-    num_bytes = -(-bit_sum // 8)
-    cols = np.asarray(scalars, np.uint8).reshape(n, num_bytes)
-    bits = np.unpackbits(cols, axis=-1, bitorder="little")[:, :bit_sum]
-    return bits.T.copy()  # (bit_sum, n)
-
-
 def _record_with_result(handle, name, result, **arrays):
     """Dump inputs + accessor + result for offline replay (reference
     gpu_backend.cc:286-301 + multiexponentiation_serialization.h:71-93: the
@@ -972,6 +896,81 @@ def _record_with_result(handle, name, result, **arrays):
     handle.write_to_file(os.path.join(path, "accessor"))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("bit_table", "window_width", "curve", "masked")
+)
+def _packed_query_jit(
+    t_split, packed_dev, lengths_dev, bit_table: tuple, window_width: int,
+    curve, masked: bool,
+):
+    """Packed/vlen fixed-MSM query as ONE device program.
+
+    packed_dev: (n_table, num_bytes) uint8 column-major packed scalar bytes
+    (reference blitzar_api.h:712-733); lengths_dev: (num_outputs,) int32
+    per-output generator counts (vlen; ignored unless ``masked``). The bit
+    unpack, the vlen length masking, the per-output row blocking, the
+    partition products, and every output's doubling ladder run on device —
+    the host uploads only the packed bytes. (The previous host-side unpack
+    shipped the 8x-larger bit matrix through the link — 336 MB vs 42 MB for
+    10x32-bit outputs at 2^20 — and dispatched each output's combine
+    separately; that transfer dominated the vlen benchmark.)
+
+    Short outputs are padded with zero rows up to max(bit_table): zero bit
+    rows select table entry 0 = identity, and identity rows at high ladder
+    bits contribute nothing, so one batched (O, max_bits) combine is exact.
+    """
+    n_table, num_bytes = packed_dev.shape
+    bit_sum = int(sum(bit_table))
+    num_outputs = len(bit_table)
+    maxb = max(bit_table)
+    shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    bits = ((packed_dev[:, :, None] >> shifts) & jnp.uint8(1)).reshape(
+        n_table, num_bytes * 8
+    )
+    rows = bits[:, :bit_sum].T  # (bit_sum, n_table)
+    col = jnp.arange(n_table, dtype=jnp.int32)[None, :]
+    blocks = []
+    start = 0
+    for o, nb in enumerate(bit_table):
+        blk = rows[start : start + nb]
+        if masked:
+            blk = jnp.where(col < lengths_dev[o], blk, jnp.uint8(0))
+        if nb < maxb:
+            blk = jnp.pad(blk, ((0, maxb - nb), (0, 0)))
+        blocks.append(blk)
+        start += nb
+    all_rows = jnp.concatenate(blocks).reshape(num_outputs * maxb, n_table)
+    products = _partition_products(t_split, all_rows, window_width, curve)
+    prods = curve.reshape_batch(products, (num_outputs, maxb))
+    return _doubling_combine(prods, maxb, curve)
+
+
+def _packed_query(handle, output_bit_table, n, scalars, output_lengths=None):
+    curve = handle.curve
+    if not output_bit_table:
+        return curve.identity((0,))
+    bit_sum = int(sum(output_bit_table))
+    num_bytes = -(-bit_sum // 8)
+    n_table = handle.num_groups * handle.window_width
+    packed = np.asarray(scalars, np.uint8).reshape(n, num_bytes)
+    if n < n_table:
+        packed = np.pad(packed, ((0, n_table - n), (0, 0)))
+    lengths = (
+        np.zeros(len(output_bit_table), np.int32)
+        if output_lengths is None
+        else np.asarray(output_lengths, np.int32)
+    )
+    return _packed_query_jit(
+        handle.t_split,
+        jnp.asarray(packed),
+        jnp.asarray(lengths),
+        tuple(int(b) for b in output_bit_table),
+        handle.window_width,
+        curve,
+        output_lengths is not None,
+    )
+
+
 def fixed_packed_multiexponentiation(
     handle: MultiexpHandle, output_bit_table, n: int, scalars
 ):
@@ -980,8 +979,7 @@ def fixed_packed_multiexponentiation(
     result) is recorded for offline replay (reference gpu_backend.cc:286-301)."""
     curve = handle.curve
     output_bit_table = [int(b) for b in output_bit_table]
-    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
-    result = _packed_core(handle, rows_np, output_bit_table, None)
+    result = _packed_query(handle, output_bit_table, n, scalars)
     _record_with_result(
         handle,
         f"packed-{curve.name}",
@@ -1006,8 +1004,9 @@ def fixed_vlen_multiexponentiation(
         a <= b for a, b in zip(output_lengths, output_lengths[1:])
     ), "output_lengths must be sorted ascending"
     n = max(output_lengths) if output_lengths else 0
-    rows_np = _unpack_packed_scalars(scalars, output_bit_table, n)
-    result = _packed_core(handle, rows_np, output_bit_table, output_lengths)
+    result = _packed_query(
+        handle, output_bit_table, n, scalars, output_lengths
+    )
     _record_with_result(
         handle,
         f"vlen-{handle.curve.name}",
@@ -1017,32 +1016,3 @@ def fixed_vlen_multiexponentiation(
         scalars=np.asarray(scalars, np.uint8),
     )
     return result
-
-
-def _packed_core(handle, rows_np, output_bit_table, output_lengths):
-    curve = handle.curve
-    num_outputs = len(output_bit_table)
-    n = rows_np.shape[1]
-    assert n <= handle.n
-    n_table = handle.num_groups * handle.window_width
-    if n < n_table:
-        rows_np = np.pad(rows_np, ((0, 0), (0, n_table - n)))
-    if output_lengths is not None:
-        starts = np.cumsum([0] + output_bit_table)
-        for o, length in enumerate(output_lengths):
-            rows_np[starts[o] : starts[o + 1], length:] = 0
-    products = _partition_products(
-        handle.t_split, jnp.asarray(rows_np), handle.window_width, curve
-    )
-    # combine each output's bit range (bit counts may differ per output)
-    outputs = []
-    start = 0
-    for o in range(num_outputs):
-        nbits = output_bit_table[o]
-        sub = curve.index_batch(products, (slice(start, start + nbits),))
-        sub = curve.reshape_batch(sub, (1, nbits))
-        outputs.append(_doubling_combine(sub, nbits, curve))
-        start += nbits
-    return curve.make_point(
-        *(jnp.concatenate(cs, axis=-1) for cs in zip(*outputs))
-    )

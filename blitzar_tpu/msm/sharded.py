@@ -183,6 +183,93 @@ def msm_partition_sharded2d_jit(
     )(list(points), scalars_dev)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_width", "num_outputs", "nbits", "mesh", "curve"),
+)
+def msm_partition_sharded_signed_jit(
+    points, scalars_dev, signs_dev, window_width: int, num_outputs: int,
+    nbits: int, mesh: Mesh, curve=ed,
+):
+    """Signed partition-table MSM sharded over the point axis: the
+    single-chip two-mask trick (fixed._query_signed_jit — positive and
+    negative bit-row blocks against ONE local table, result = Q_pos - Q_neg)
+    run per device slice, with the same O(outputs * bits) all-gather as the
+    unsigned kernel. Replaces the previous fallback to the sort-based bucket
+    engine, which is ~100x off roofline on TPU (reference signed handling:
+    multiexp/curve/multiproduct.h:32-58)."""
+    from . import fixed as _fixed
+
+    def local(pts, scal, sgn):
+        table = _fixed._build_table(curve.make_point(*pts), window_width, curve)
+        t_split = _fixed._split_table_jit(table, curve)
+        o, n_local, nbytes = scal.shape
+        shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, None, :]
+        bits = (scal[:, :, :, None] >> shifts) & jnp.uint8(1)
+        rows = bits.reshape(o, n_local, nbits).transpose(0, 2, 1)  # (O,b,n)
+        neg = (sgn == 1)[:, None, :]
+        rows_pos = jnp.where(neg, jnp.uint8(0), rows)
+        rows_neg = jnp.where(neg, rows, jnp.uint8(0))
+        all_rows = jnp.concatenate([rows_pos, rows_neg]).reshape(
+            2 * o * nbits, n_local
+        )
+        products = _fixed._partition_products(
+            t_split, all_rows, window_width, curve
+        )
+        gathered = jax.lax.all_gather(jnp.stack(list(products)), AXIS)
+        parts = curve.make_point(
+            *(jnp.moveaxis(gathered[:, k], 0, -1) for k in range(curve.coord_count))
+        )
+        total = curve.tree_reduce(parts, mesh.shape[AXIS])  # (2*O*bits,)
+        p_pos = curve.reshape_batch(
+            curve.index_batch(total, (slice(0, o * nbits),)), (o, nbits)
+        )
+        p_neg = curve.reshape_batch(
+            curve.index_batch(total, (slice(o * nbits, 2 * o * nbits),)),
+            (o, nbits),
+        )
+        q_pos = _fixed._doubling_combine(p_pos, nbits, curve)
+        q_neg = _fixed._doubling_combine(p_neg, nbits, curve)
+        return curve.add(q_pos, curve.neg(q_neg))
+
+    shard_pt = P(None, AXIS)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            [shard_pt] * curve.coord_count,
+            P(None, AXIS, None),
+            P(None, AXIS),
+        ),
+        out_specs=curve.make_point(*([P()] * curve.coord_count)),
+        check_vma=False,
+    )(list(points), scalars_dev, signs_dev)
+
+
+def msm_partition_signed(mesh: Mesh, points, scalars, signs, n: int, curve=ed):
+    """scalars: (O, n, nbytes) uint8 MAGNITUDES; signs: (O, n) uint8."""
+    num_outputs, _, nbytes = scalars.shape
+    d = mesh.size
+    w = 8 if n <= (1 << 20) else 4
+    n_pad = -(-n // (d * w)) * (d * w)
+    if scalars.shape[1] < n_pad:
+        scalars = np.pad(scalars, ((0, 0), (0, n_pad - scalars.shape[1]), (0, 0)))
+    if signs.shape[1] < n_pad:
+        signs = np.pad(signs, ((0, 0), (0, n_pad - signs.shape[1])))
+    npts = points.x.shape[-1]
+    if npts < n_pad:
+        pad = curve.identity((n_pad - npts,))
+        points = curve.make_point(
+            *(jnp.concatenate([c, pc], axis=-1) for c, pc in zip(points, pad))
+        )
+    elif npts > n_pad:
+        points = curve.index_batch(points, (slice(0, n_pad),))
+    return msm_partition_sharded_signed_jit(
+        points, jnp.asarray(scalars), jnp.asarray(signs), w, num_outputs,
+        8 * nbytes, mesh, curve,
+    )
+
+
 def msm_partition2d(mesh: Mesh, points, scalars, n: int, curve=ed):
     """Many-output entry for the 2-D mesh: scalars (O, n, nbytes) uint8
     unsigned; O divisible-padded over the outputs axis, n over points."""
@@ -242,6 +329,11 @@ def msm(mesh: Mesh, points, data_list, nbytes_list, signed_list, curve=ed):
         return curve.identity((max(num_outputs, 0),))
     if not any(signed_list):
         return msm_partition(mesh, points, scalars, n, curve)
+    import os as _os
+
+    if _os.environ.get("BLITZAR_TPU_MSM_ENGINE") != "bucket":
+        return msm_partition_signed(mesh, points, scalars, signs, n, curve)
+    # legacy sort-based bucket path (env-selected only)
     # pad n to a power of two >= 8 * mesh size so shards are equal
     n_pad = 8 * mesh.size
     while n_pad < n:

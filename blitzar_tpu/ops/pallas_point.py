@@ -1125,6 +1125,49 @@ def _mont_fold_body_factory(field, m: int):
     return body
 
 
+def _mont_mul_body_factory(field):
+    from ..fields import mont as _mont
+
+    def body(a_ref, b_ref, out_ref):
+        with _mont.diag_mode():
+            out_ref[:] = field.mul(a_ref[:], b_ref[:])
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("field", "interpret"))
+def mont_mul_ew(field, a, b, interpret=False):
+    """Elementwise Montgomery product of (nl, W) arrays (b may be (nl, 1):
+    broadcast across lanes), W % MONT_SUM_BLK == 0. One VMEM-local diag-mode
+    kernel per block — the inline-XLA skew multiply materializes
+    (nl, nl, W) outer-product slabs in HBM per multiply, which made each
+    full-width IPA round mul cost ~100 ms at 2^20."""
+    nl, w = a.shape
+    blk = MONT_SUM_BLK
+    if b.shape[-1] == 1:
+        b = jnp.broadcast_to(b, (nl, blk))
+        b_spec = pl.BlockSpec((nl, blk), lambda i: (0, 0))
+    else:
+        b_spec = pl.BlockSpec((nl, blk), lambda i: (0, i))
+    return pl.pallas_call(
+        _mont_mul_body_factory(field),
+        grid=(w // blk,),
+        in_specs=[pl.BlockSpec((nl, blk), lambda i: (0, i)), b_spec],
+        out_specs=pl.BlockSpec((nl, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((nl, w), jnp.uint32),
+        interpret=interpret,
+    )(a, b)
+
+
+def mont_mul_fits(field, w: int) -> bool:
+    return (
+        use_pallas()
+        and w >= MONT_SUM_BLK
+        and w % MONT_SUM_BLK == 0
+        and 3 * field.nlimbs * MONT_SUM_BLK * 4 < (8 << 20)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("field", "interpret"))
 def mont_fold_round(field, lo, hi, r, one_m_r, interpret=False):
     """(nl, m, W) lo/hi -> (1-r)*lo + r*hi, one fused kernel."""

@@ -118,8 +118,25 @@ def _scalar_bits_le(x: int, nbits: int = 256) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("np_",))
-def _round_exponents(a, b, mu, mid, np_: int):
+def _smul(a, b):
+    """Full-width elementwise Montgomery mul, routed through the Pallas
+    diag-mode kernel on TPU (ops/pallas_point.mont_mul_ew — inline-XLA skew
+    multiplies materialize HBM outer products and dominated the IPA round);
+    b may be (nl, 1) for a broadcast scale."""
+    from ..ops import pallas_point as pp
+
+    w = a.shape[-1]
+    if (
+        a.ndim == 2
+        and b.ndim == 2
+        and b.shape[-1] in (1, w)
+        and pp.mont_mul_fits(S, w)
+    ):
+        return pp.mont_mul_ew(S, a, b)
+    return S.mul(a, b)
+
+
+def _round_exponents_body(a, b, mu, mid, np_: int):
     """One round's MSM exponents over the ORIGINAL generator basis.
 
     a, b: (nl, np_) Montgomery vectors — the folded round values live in the
@@ -148,21 +165,26 @@ def _round_exponents(a, b, mu, mid, np_: int):
     # base_l[u] = a[u - mid] for mid <= u < n_k (the a_lo pattern at the hi
     # slots of one period), then tiled periodically across np_
     base_l = jnp.where((j < n_k)[None], _lanes.shift_up(a, mid), zero)
-    e_l = S.mul(mu, _lanes.tile_periodic(base_l, n_k))
+    e_l = _smul(mu, _lanes.tile_periodic(base_l, n_k))
     # base_r[u] = a[mid + u] for u < mid (the a_hi pattern at the lo slots)
     base_r = jnp.where((j < mid)[None], _lanes.shift_down(a, mid), zero)
-    e_r = S.mul(mu, _lanes.tile_periodic(base_r, n_k))
+    e_r = _smul(mu, _lanes.tile_periodic(base_r, n_k))
 
     # cL = <a_lo, b_hi> = sum_{i < mid} a[i] * b[i + mid]; cR symmetric
     valid = (j < mid)[None]
     b_sh = _lanes.shift_down(b, mid)
     a_sh = _lanes.shift_down(a, mid)
-    c_l = S.tree_sum(jnp.where(valid, S.mul(a, b_sh), zero), np_)[..., None]
-    c_r = S.tree_sum(jnp.where(valid, S.mul(a_sh, b), zero), np_)[..., None]
+    c_l = S.tree_sum(jnp.where(valid, _smul(a, b_sh), zero), np_)[..., None]
+    c_r = S.tree_sum(jnp.where(valid, _smul(a_sh, b), zero), np_)[..., None]
 
     g_bytes = jnp.stack([S.to_bytes_le(e_l).T, S.to_bytes_le(e_r).T])
     q_bytes = jnp.stack([S.to_bytes_le(c_l).T, S.to_bytes_le(c_r).T])
     return g_bytes, q_bytes
+
+
+@functools.partial(jax.jit, static_argnames=("np_",))
+def _round_exponents(a, b, mu, mid, np_: int):
+    return _round_exponents_body(a, b, mu, mid, np_)
 
 
 @jax.jit
@@ -202,8 +224,7 @@ def _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid: int, np_: int):
     return _add_encode(part, qpart)
 
 
-@jax.jit
-def _fold(a, b, mu, x_mont, xinv_mont, mid):
+def _fold_vectors_body(a, b, mu, x_mont, xinv_mont, mid):
     """Fold the scalar vectors and the generator multipliers. a, b stay
     np_-wide (folded values in the first mid entries, zeros beyond — so ONE
     compiled program serves every round, mid traced); mu stays np_-wide
@@ -219,10 +240,10 @@ def _fold(a, b, mu, x_mont, xinv_mont, mid):
     a_sh = _lanes.shift_down(a, mid)
     b_sh = _lanes.shift_down(b, mid)
     a_next = jnp.where(
-        keep, S.add(S.mul(x_mont, a), S.mul(xinv_mont, a_sh)), zero
+        keep, S.add(_smul(a, x_mont), _smul(a_sh, xinv_mont)), zero
     )
     b_next = jnp.where(
-        keep, S.add(S.mul(xinv_mont, b), S.mul(x_mont, b_sh)), zero
+        keep, S.add(_smul(b, xinv_mont), _smul(b_sh, x_mont)), zero
     )
 
     # mu factor: xinv on each period's lo half, x on its hi half — built as
@@ -232,8 +253,54 @@ def _fold(a, b, mu, x_mont, xinv_mont, mid):
     x_b = jnp.broadcast_to(x_mont, (nl, np_))
     base_f = jnp.where(keep, xinv_b, jnp.where((j < n_k)[None], x_b, zero))
     factor = _lanes.tile_periodic(base_f, n_k)
-    mu_next = S.mul(mu, factor)
+    mu_next = _smul(mu, factor)
     return a_next, b_next, mu_next
+
+
+@jax.jit
+def _fold(a, b, mu, x_mont, xinv_mont, mid):
+    return _fold_vectors_body(a, b, mu, x_mont, xinv_mont, mid)
+
+
+# -- fused per-round programs: ONE device dispatch per Fiat-Shamir round on
+# the resident-handle path. Round k's vector fold (challenge x_{k-1}), its
+# exponent forming, both fixed-table queries, the point add, and the
+# ristretto encode run as a single compiled program; only the 64 bytes of
+# L/R and the next challenge cross the link per round (the reference also
+# syncs per round, proof_computation.cc:92-104, but its rounds are O(n)
+# folds — ours must not stack tunnel round trips on top of the queries). ----
+
+
+def _lr_from_state(tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq):
+    from ..msm import fixed as _fixed
+
+    g_bytes, q_bytes = _round_exponents_body(a, b, mu, mid, np_)
+    if ntg > np_:
+        g_bytes = jnp.pad(g_bytes, ((0, 0), (0, ntg - np_), (0, 0)))
+    q_bytes = jnp.pad(q_bytes, ((0, 0), (0, ntq - 1), (0, 0)))
+    part = _fixed._query_jit(tg, g_bytes, ww_g, 2, 256, ed)
+    qpart = _fixed._query_jit(tq, q_bytes, ww_q, 2, 256, ed)
+    return rst.encode(ed.add(part, qpart)).T  # (2, 32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_", "ww_g", "ww_q", "ntg", "ntq")
+)
+def _ipa_round0_jit(tg, tq, a, b, mu, mid, np_: int, ww_g: int, ww_q: int, ntg: int, ntq: int):
+    return _lr_from_state(tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("np_", "ww_g", "ww_q", "ntg", "ntq")
+)
+def _ipa_step_jit(
+    tg, tq, a, b, mu, x_mont, xinv_mont, mid_prev,
+    np_: int, ww_g: int, ww_q: int, ntg: int, ntq: int,
+):
+    a, b, mu = _fold_vectors_body(a, b, mu, x_mont, xinv_mont, mid_prev)
+    mid = jnp.asarray(mid_prev, jnp.int32) // 2
+    lr = _lr_from_state(tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq)
+    return a, b, mu, lr
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
@@ -311,17 +378,56 @@ def prove_inner_product(
     l_out = np.zeros((num_rounds, 32), np.uint8)
     r_out = np.zeros((num_rounds, 32), np.uint8)
     cur = np_
-    for round_index in range(num_rounds):
-        mid = cur // 2
-        lr = np.asarray(
-            _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid, np_)
-        )
-        l_out[round_index] = lr[0]
-        r_out[round_index] = lr[1]
-        x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
-        xinv = pow(x, -1, ORDER)
-        a, b, mu = _fold(a, b, mu, S.from_ints([x]), S.from_ints([xinv]), mid)
-        cur = mid
+
+    def _mont_np(v: int) -> np.ndarray:
+        m = v % ORDER * S.r % ORDER
+        return np.array(
+            [(m >> (16 * i)) & 0xFFFF for i in range(S.nlimbs)], np.uint32
+        ).reshape(S.nlimbs, 1)
+
+    if g_handle is not None:
+        # fused path: one program per round, challenges enter as host numpy
+        # limbs (transferred with the call, no eager H2D ops between rounds)
+        tg, ww_g = g_handle.t_split, g_handle.window_width
+        ntg = g_handle.num_groups * g_handle.window_width
+        tq, ww_q = q_handle.t_split, q_handle.window_width
+        ntq = q_handle.num_groups * q_handle.window_width
+        x_np = xinv_np = None
+        for round_index in range(num_rounds):
+            mid = cur // 2
+            if round_index == 0:
+                lr_dev = _ipa_round0_jit(
+                    tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq
+                )
+            else:
+                a, b, mu, lr_dev = _ipa_step_jit(
+                    tg, tq, a, b, mu, x_np, xinv_np, 2 * mid,
+                    np_, ww_g, ww_q, ntg, ntq,
+                )
+            lr = np.asarray(lr_dev)
+            l_out[round_index] = lr[0]
+            r_out[round_index] = lr[1]
+            x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
+            xinv = pow(x, -1, ORDER)
+            x_np, xinv_np = _mont_np(x), _mont_np(xinv)
+            cur = mid
+        # the loop folds lazily (inside the NEXT round's program); apply the
+        # final round's fold so ap = a[0] is correct
+        a, _, _ = _fold(a, b, mu, x_np, xinv_np, 1)
+    else:
+        # streaming path (np_ >= _STREAM_COMMIT_MIN): per-chunk build+query
+        # keeps peak memory bounded; rounds stay unfused
+        for round_index in range(num_rounds):
+            mid = cur // 2
+            lr = np.asarray(
+                _commit_to_fold(a, b, mu, g_handle, g_stream, q_handle, mid, np_)
+            )
+            l_out[round_index] = lr[0]
+            r_out[round_index] = lr[1]
+            x = _round_challenge(transcript, bytes(lr[0]), bytes(lr[1]))
+            xinv = pow(x, -1, ORDER)
+            a, b, mu = _fold(a, b, mu, S.from_ints([x]), S.from_ints([xinv]), mid)
+            cur = mid
 
     ap_value = S.to_ints(a[:, :1])[0]
     return l_out, r_out, ap_value
@@ -347,7 +453,7 @@ def _g_exponents_jit(allinv_ap_mont, xsq_rev_mont, np_: int):
         factor = jnp.where(
             bit[None], jnp.broadcast_to(xsq_rev_mont[:, k : k + 1], (nl, np_)), one
         )
-        arr = S.mul(arr, factor)
+        arr = _smul(arr, factor)
     return arr
 
 

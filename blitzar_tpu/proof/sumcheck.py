@@ -263,12 +263,11 @@ def _sum_terms(field: MontField, lo, hi, mults, terms_struct, degree: int):
 _DYN_SUM_CHUNK = 1 << 16
 
 
-@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
-def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
-    """_sum_round with mles (nlimbs, num_mles, W), live values in the first
-    2*mid entries and mid TRACED. Lanes at or beyond mid are zeroed in both
-    halves (zero products contribute nothing), then the expansion runs in
-    fixed-width lax.map chunks so temps stay chunk-sized."""
+def _sum_body(field: MontField, mles, mults, terms_struct, degree: int, mid):
+    """Round-coefficient computation with mles (nlimbs, num_mles, W), live
+    values in the first 2*mid entries and mid TRACED. Lanes at or beyond mid
+    are zeroed in both halves (zero products contribute nothing), then the
+    expansion runs in fixed-width lax.map chunks so temps stay chunk-sized."""
     from ..utils import lanes as _lanes
 
     nl, m, width = mles.shape
@@ -302,9 +301,8 @@ def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid
     return field.tree_sum(jnp.moveaxis(parts, 0, -1), nc)
 
 
-@functools.partial(jax.jit, static_argnames=("field",))
-def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
-    """_fold_round keeping full width: lanes beyond the folded mid zeroed."""
+def _fold_body(field: MontField, mles, r, one_m_r, mid):
+    """Fold keeping full width: lanes beyond the folded mid zeroed."""
     from ..utils import lanes as _lanes
 
     nl, m, width = mles.shape
@@ -320,6 +318,42 @@ def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
             field.mul(one_m_r[:, None], mles), field.mul(r[:, None], hi)
         )
     return jnp.where((i < mid)[None, None], folded, jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _sum_round_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
+    return _sum_body(field, mles, mults, terms_struct, degree, mid)
+
+
+@functools.partial(jax.jit, static_argnames=("field",))
+def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
+    return _fold_body(field, mles, r, one_m_r, mid)
+
+
+# -- fused per-round programs: ONE device dispatch per Fiat-Shamir round.
+# Round k's fold (with challenge r_{k-1}) and round k's coefficient sum run
+# in a single program whose output coefficients are already converted to
+# STANDARD form, so the host does no eager device math between rounds: each
+# round is exactly one program call + one small D2H + the transcript
+# (reference sumcheck pays the same per-round sync,
+# proof/sumcheck/proof_computation.h:32-69 — but its rounds are plain O(n)
+# folds; ours must not add tunnel round trips on top). -----------------------
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _round0_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
+    coeffs = _sum_body(field, mles, mults, terms_struct, degree, mid)
+    return field.from_mont(coeffs)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
+def _round_step_dyn(
+    field: MontField, mles, mults, r, one_m_r, terms_struct, degree: int, mid_prev
+):
+    folded = _fold_body(field, mles, r, one_m_r, mid_prev)
+    mid = jnp.asarray(mid_prev, jnp.int32) // 2
+    coeffs = _sum_body(field, folded, mults, terms_struct, degree, mid)
+    return folded, field.from_mont(coeffs)
 
 
 @functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
@@ -510,25 +544,46 @@ def prove_sum(
             arr_host = None
 
     # resident rounds: arr KEEPS its width (live fold in the first 2*mid
-    # lanes, zeros beyond) and mid is traced — one compiled (sum, fold)
-    # program pair serves all remaining rounds (the static-mid kernels
-    # compiled ~2 programs per round)
+    # lanes, zeros beyond) and mid is traced — ONE fused fold+sum program per
+    # round (round 0 is sum-only), whose output is already standard-form, so
+    # each round costs one dispatch + one small D2H + the host transcript
+    nl = field.nlimbs
+
+    def _mont_np(v: int) -> np.ndarray:
+        m = v % field.modulus * field.r % field.modulus
+        return np.array(
+            [(m >> (16 * i)) & 0xFFFF for i in range(nl)], np.uint32
+        ).reshape(nl, 1)
+
+    def _ints_from_std(std: np.ndarray) -> list[int]:
+        return [
+            sum(int(std[i, j]) << (16 * i) for i in range(nl))
+            for j in range(std.shape[1])
+        ]
+
+    r_np = one_m_r_np = None
+    first = True
     for _ in range(num_variables - len(polynomials)):
         mid = cur // 2 if cur > 1 else 1
         if cur == 1:
             # single-variable base case: pad with a zero half
             arr = jnp.concatenate([arr, field.zeros((num_mles, 1))], axis=-1)
             cur, mid = 2, 1
-        coeffs = _sum_round_dyn(field, arr, mults, terms_struct, degree, mid)
-        poly_ints = field.to_ints(coeffs)
+        if first:
+            coeffs_std = _round0_dyn(field, arr, mults, terms_struct, degree, mid)
+            first = False
+        else:
+            # this call folds the PREVIOUS round (at 2*mid) then sums at mid
+            arr, coeffs_std = _round_step_dyn(
+                field, arr, mults, r_np, one_m_r_np, terms_struct, degree, 2 * mid
+            )
+        poly_ints = _ints_from_std(np.asarray(coeffs_std))
         polynomials.append(poly_ints)
         r = transcript.round_challenge(poly_ints)
         evaluation_point.append(r)
-        if len(polynomials) < num_variables:
-            r_mont = field.from_ints([r])
-            one_m_r = field.from_ints([(1 - r) % field.modulus])
-            arr = _fold_round_dyn(field, arr, r_mont, one_m_r, mid)
-            cur = mid
+        r_np = _mont_np(r)
+        one_m_r_np = _mont_np((1 - r) % field.modulus)
+        cur = mid
     return polynomials, evaluation_point
 
 

@@ -23,6 +23,27 @@ import platform
 _CACHE_FORMAT = "2"
 
 
+def cpu_isa_cap_flag() -> str:
+    """XLA flag capping XLA:CPU codegen at AVX2.
+
+    XLA:CPU AOT cache entries for gather/scatter-containing programs embed
+    ``+prefer-no-gather/scatter`` pseudo-features in their target config;
+    the loader then REJECTS those entries even on the machine that wrote
+    them (every lookup logs a load error and recompiles — the r2-r4
+    dryrun/CI tail noise). Capping the ISA avoids the pseudo-feature
+    mismatch. Must be in XLA_FLAGS before the CPU backend is instantiated.
+    """
+    return "--xla_cpu_max_isa=AVX2"
+
+
+def apply_cpu_flags() -> None:
+    """Append the ISA cap to XLA_FLAGS (idempotent; call before jax import
+    or at least before the first CPU compilation)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + cpu_isa_cap_flag()).strip()
+
+
 def _machine_key() -> str:
     # include the jax version: XLA AOT artifacts from a different jax/XLA
     # build fail to load, and every failed load costs a stalled attempt

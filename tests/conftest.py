@@ -16,17 +16,25 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax
+# Cap XLA:CPU codegen at AVX2 BEFORE the backend exists: uncapped AOT cache
+# entries embed prefer-no-gather/scatter pseudo-features their own loader
+# rejects, spraying load errors on every run (utils/cache.cpu_isa_cap_flag).
+from blitzar_tpu.utils.cache import apply_cpu_flags as _apply_cpu_flags  # noqa: E402
+
+_apply_cpu_flags()
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # XLA compiles are slow; cache them across test runs. The directory is
 # machine-keyed (utils/cache.py) — XLA:CPU AOT results from a different host
-# fail to load and stall the process.
+# fail to load and stall the process — and tagged: these entries are built
+# with the AVX2 cap, distinct from the untagged (TPU-platform) dir.
 from blitzar_tpu.utils.cache import configure as _configure_cache  # noqa: E402
 
-_configure_cache(jax.config)
+_configure_cache(jax.config, tag="avx2")
 
 
 import pytest

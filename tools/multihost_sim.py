@@ -41,14 +41,20 @@ def child(process_id: int, port: int) -> None:
             + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
         ).strip()
 
+    # Cap XLA:CPU codegen at AVX2 so AOT cache entries don't embed the
+    # prefer-no-gather/scatter pseudo-features their own loader rejects
+    # (utils/cache.cpu_isa_cap_flag) — with the cap, the persistent cache is
+    # safe for the distributed children too.
+    from blitzar_tpu.utils.cache import apply_cpu_flags as _apply_cpu_flags
+    from blitzar_tpu.utils.cache import configure as _configure_cache
+
+    _apply_cpu_flags()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    # NO persistent compile cache here: XLA:CPU AOT entries compiled under
-    # the distributed client embed prefer-no-gather/scatter target features
-    # that the loader then rejects even on the same machine — every lookup
-    # would spray load errors (the r3 dryrun-tail failure mode)
+    _configure_cache(jax.config, tag="multihost_avx2")
 
     from blitzar_tpu import parallel
 

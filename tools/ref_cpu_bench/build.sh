@@ -60,6 +60,7 @@ REF_SRCS=(
   sxt/execution/async/future_state_utility.cc
   sxt/execution/schedule/pending_event.cc
   sxt/execution/schedule/scheduler.cc
+  sxt/seqcommit/generator/base_element.cc
   sxt/field51/operation/notsquare.cc
   sxt/field51/operation/sqrt.cc
   sxt/field51/operation/abs.cc

@@ -32,6 +32,7 @@
 #include "sxt/multiexp/pippenger/multiexponentiation.h"
 #include "sxt/ristretto/base/byte_conversion.h"
 #include "sxt/ristretto/random/element.h"
+#include "sxt/seqcommit/generator/base_element.h"
 
 using namespace sxt;
 
@@ -63,18 +64,44 @@ int main(int argc, char** argv) {
   size_t num_outputs = argc > 2 ? strtoul(argv[2], nullptr, 10) : 1;
   size_t nbytes = argc > 3 ? strtoul(argv[3], nullptr, 10) : 32;
   int samples = argc > 4 ? atoi(argv[4]) : 3;
+  // canonical mode: the library's own precomputed generator sequence
+  // (seqcommit/generator/base_element.cc:30-35) + counter-derived scalars —
+  // both reproducible in blitzar_tpu, so the result digests can be pinned
+  // as cross-implementation vectors at any size
+  bool canonical = argc > 5 && strcmp(argv[5], "canonical") == 0;
   size_t n = 1ull << lg_n;
 
-  // random generators (same distribution as the reference benchmarks)
   std::vector<c21t::element_p3> generators(n);
   std::mt19937_64 urng{0xdeadbeef};
-  basn::fast_random_number_generator rng{urng(), urng()};
-  for (size_t i = 0; i < n; ++i) {
-    rstrn::generate_random_element(generators[i], rng);
+  if (canonical) {
+    for (size_t i = 0; i < n; ++i) {
+      sqcgn::compute_base_element(generators[i], i);
+    }
+  } else {
+    // random generators (same distribution as the reference benchmarks)
+    basn::fast_random_number_generator rng{urng(), urng()};
+    for (size_t i = 0; i < n; ++i) {
+      rstrn::generate_random_element(generators[i], rng);
+    }
   }
 
   std::vector<uint8_t> data(num_outputs * n * nbytes);
-  for (auto& b : data) b = static_cast<uint8_t>(urng());
+  if (canonical) {
+    // scalar row i = LE(i * K1) || LE(i * K2 + 1) || zeros — deterministic,
+    // language-neutral, full-byte-entropy in the low 16 bytes
+    for (size_t o = 0; o < num_outputs; ++o) {
+      for (size_t i = 0; i < n; ++i) {
+        uint8_t* row = data.data() + (o * n + i) * nbytes;
+        memset(row, 0, nbytes);
+        uint64_t v1 = (i + o) * 0x9E3779B97F4A7C15ull;
+        uint64_t v2 = (i + o) * 0xC2B2AE3D27D4EB4Full + 1;
+        memcpy(row, &v1, nbytes < 8 ? nbytes : 8);
+        if (nbytes >= 16) memcpy(row + 8, &v2, 8);
+      }
+    }
+  } else {
+    for (auto& b : data) b = static_cast<uint8_t>(urng());
+  }
   std::vector<mtxb::exponent_sequence> seqs(num_outputs);
   for (size_t i = 0; i < num_outputs; ++i) {
     seqs[i] = {.element_nbytes = static_cast<uint8_t>(nbytes),
