@@ -283,13 +283,12 @@ def _lr_from_state(tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq):
     return rst.encode(ed.add(part, qpart)).T  # (2, 32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("np_", "ww_g", "ww_q", "ntg", "ntq")
-)
-def _ipa_round0_jit(tg, tq, a, b, mu, mid, np_: int, ww_g: int, ww_q: int, ntg: int, ntq: int):
-    return _lr_from_state(tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq)
-
-
+# Round 0 reuses the step program with an identity fold (x = x^-1 = 1 and
+# mid_prev = np_): the fold computes 1*a + 1*shift(a, np_) = a exactly
+# (the shift past the live width is all zeros and Montgomery one is an
+# exact identity; the mu factor tiles to all-ones), so ONE trace+compile
+# serves every round — the separate round-0 program was a second
+# multi-minute warm-up cost.
 @functools.partial(
     jax.jit, static_argnames=("np_", "ww_g", "ww_q", "ntg", "ntq")
 )
@@ -315,6 +314,22 @@ def _scalar_mul_point(p: ed.PointP3, bits, nbits: int) -> ed.PointP3:
 
     acc, _ = jax.lax.scan(step, ident, jnp.flip(bits[:nbits]))
     return acc
+
+
+_decode_jit = jax.jit(rst.decode)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def _verify_final_jit(g_part, qlr_part, q_value, a_commit, bits, nbits: int):
+    """Verification epilogue as ONE program: expected = g_part + qlr_part,
+    commit = product*Q + a_commit, both ristretto-encoded. Run eagerly,
+    the point adds + the two encodes (inversion chains) + the 253-step
+    ladder dispatched per-primitive through the device tunnel — ~15 s of
+    RTTs at 2^20 (tools/ipa_verify_probe.py attribution)."""
+    expected = ed.add(g_part, qlr_part)
+    q_prod = _scalar_mul_point(q_value, bits, nbits)
+    commit = ed.add(q_prod, a_commit)
+    return jnp.stack([rst.encode(expected).T[0], rst.encode(commit).T[0]])
 
 
 # ---------------------------------------------------------------------------
@@ -392,18 +407,14 @@ def prove_inner_product(
         ntg = g_handle.num_groups * g_handle.window_width
         tq, ww_q = q_handle.t_split, q_handle.window_width
         ntq = q_handle.num_groups * q_handle.window_width
-        x_np = xinv_np = None
+        # identity fold for round 0 (see _ipa_step_jit note)
+        x_np, xinv_np = _mont_np(1), _mont_np(1)
         for round_index in range(num_rounds):
             mid = cur // 2
-            if round_index == 0:
-                lr_dev = _ipa_round0_jit(
-                    tg, tq, a, b, mu, mid, np_, ww_g, ww_q, ntg, ntq
-                )
-            else:
-                a, b, mu, lr_dev = _ipa_step_jit(
-                    tg, tq, a, b, mu, x_np, xinv_np, 2 * mid,
-                    np_, ww_g, ww_q, ntg, ntq,
-                )
+            a, b, mu, lr_dev = _ipa_step_jit(
+                tg, tq, a, b, mu, x_np, xinv_np, 2 * mid,
+                np_, ww_g, ww_q, ntg, ntq,
+            )
             lr = np.asarray(lr_dev)
             l_out[round_index] = lr[0]
             r_out[round_index] = lr[1]
@@ -518,9 +529,10 @@ def verify_inner_product(
     b_arr = _mont_from_rows(b_rows, n)
     prod_check = S.to_ints(_inner_product_jit(g_exp_arr[:, :n], b_arr))[0]
 
-    # decompress L/R; reject invalid encodings
+    # decompress L/R; reject invalid encodings (jitted: the eager decode's
+    # sqrt chains dispatch per-primitive — ~6 s of tunnel RTTs)
     if num_rounds:
-        lr_pts, lr_valid = rst.decode(
+        lr_pts, lr_valid = _decode_jit(
             jnp.asarray(np.concatenate([l_vector, r_vector]).T)
         )
         if not bool(np.asarray(lr_valid).all()):
@@ -551,11 +563,12 @@ def verify_inner_product(
         qlr_bytes[1 + i] = np.frombuffer(v.to_bytes(32, "little"), np.uint8)
     qlr_part = engine.msm(qlr, [qlr_bytes], [32], [False])
 
-    expected = ed.add(g_part, qlr_part)
-    expected_bytes = bytes(np.asarray(rst.encode(expected)).T[0])
-
-    # commit = product*Q + a_commit
-    q_prod = _scalar_mul_point(q_value, jnp.asarray(_scalar_bits_le(product_int)), 253)
-    commit = ed.add(q_prod, a_commit)
-    commit_bytes = bytes(np.asarray(rst.encode(commit)).T[0])
-    return expected_bytes == commit_bytes
+    # expected = g_part + qlr_part vs commit = product*Q + a_commit, in one
+    # fused program (see _verify_final_jit)
+    enc = np.asarray(
+        _verify_final_jit(
+            g_part, qlr_part, q_value, a_commit,
+            jnp.asarray(_scalar_bits_le(product_int)), 253,
+        )
+    )
+    return bytes(enc[0]) == bytes(enc[1])

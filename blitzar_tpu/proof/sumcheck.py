@@ -341,12 +341,6 @@ def _fold_round_dyn(field: MontField, mles, r, one_m_r, mid):
 
 
 @functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
-def _round0_dyn(field: MontField, mles, mults, terms_struct, degree: int, mid):
-    coeffs = _sum_body(field, mles, mults, terms_struct, degree, mid)
-    return field.from_mont(coeffs)
-
-
-@functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
 def _round_step_dyn(
     field: MontField, mles, mults, r, one_m_r, terms_struct, degree: int, mid_prev
 ):
@@ -354,6 +348,14 @@ def _round_step_dyn(
     mid = jnp.asarray(mid_prev, jnp.int32) // 2
     coeffs = _sum_body(field, folded, mults, terms_struct, degree, mid)
     return folded, field.from_mont(coeffs)
+
+
+# Round 0 reuses the SAME step program with an identity fold: r = 0,
+# 1-r = 1 and mid_prev = full width, so the fold computes
+# 1*mles + 0*shift(mles, W) = mles exactly (Montgomery one is an exact
+# multiplicative identity) and the sum runs at mid = W/2. One trace+compile
+# serves every round — a second multi-minute warm-up program for round 0
+# alone was the single largest warm_s term.
 
 
 @functools.partial(jax.jit, static_argnames=("field", "terms_struct", "degree"))
@@ -561,22 +563,19 @@ def prove_sum(
             for j in range(std.shape[1])
         ]
 
-    r_np = one_m_r_np = None
-    first = True
+    # identity fold for the first resident round (see _round_step_dyn note)
+    r_np, one_m_r_np = _mont_np(0), _mont_np(1)
     for _ in range(num_variables - len(polynomials)):
         mid = cur // 2 if cur > 1 else 1
         if cur == 1:
             # single-variable base case: pad with a zero half
             arr = jnp.concatenate([arr, field.zeros((num_mles, 1))], axis=-1)
             cur, mid = 2, 1
-        if first:
-            coeffs_std = _round0_dyn(field, arr, mults, terms_struct, degree, mid)
-            first = False
-        else:
-            # this call folds the PREVIOUS round (at 2*mid) then sums at mid
-            arr, coeffs_std = _round_step_dyn(
-                field, arr, mults, r_np, one_m_r_np, terms_struct, degree, 2 * mid
-            )
+        # this call folds the PREVIOUS round (at 2*mid; an identity fold on
+        # the first iteration) then sums at mid
+        arr, coeffs_std = _round_step_dyn(
+            field, arr, mults, r_np, one_m_r_np, terms_struct, degree, 2 * mid
+        )
         poly_ints = _ints_from_std(np.asarray(coeffs_std))
         polynomials.append(poly_ints)
         r = transcript.round_challenge(poly_ints)
