@@ -52,10 +52,12 @@ def _time(fn, samples):
     return min(times)
 
 
-def _emit(name, params, seconds, work=None):
+def _emit(name, params, seconds, work=None, checked=None):
     rec = {"benchmark": name, **params, "seconds": round(seconds, 5)}
     if work:
         rec["per_second"] = round(work / seconds, 1)
+    if checked is not None:
+        rec["checked"] = checked
     print(json.dumps(rec), flush=True)
 
 
@@ -63,14 +65,17 @@ def bench_pedersen(ns, num_commitments_list, nbytes_list, samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.msm import engine
 
-    rng = np.random.default_rng(97834978)
+    import pinned
+
     for n in ns:
         points = gen.ristretto_generators(n)
         for num_outputs in num_commitments_list:
             for nbytes in nbytes_list:
+                # deterministic counter scalars: the result digest is
+                # checkable against the pinned CPU-path values
                 data = [
-                    rng.integers(0, 256, size=(n, nbytes), dtype=np.uint8)
-                    for _ in range(num_outputs)
+                    pinned.counter_scalars(n, nbytes, output=o)
+                    for o in range(num_outputs)
                 ]
 
                 def run():
@@ -78,13 +83,23 @@ def bench_pedersen(ns, num_commitments_list, nbytes_list, samples):
                         points, data, [nbytes] * num_outputs, [False] * num_outputs
                     )
                     _sync(out.x[:, :1])
+                    return out
 
                 dt = _time(run, samples)
+                want = pinned.PINNED.get("pedersen", {}).get(
+                    (n, num_outputs, nbytes)
+                )
+                got = pinned.ristretto_digest(run())
+                if want is not None:
+                    assert got == want, (
+                        f"pedersen ({n},{num_outputs},{nbytes}): {got} != {want}"
+                    )
                 _emit(
                     "pedersen",
                     {"n": n, "num_commitments": num_outputs, "element_nbytes": nbytes},
                     dt,
                     work=n * num_outputs,
+                    checked=True if want is not None else f"no-pin:{got}",
                 )
 
 
@@ -93,7 +108,8 @@ def bench_fixed(ns, curves, samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.msm import fixed
 
-    rng = np.random.default_rng(1)
+    import pinned
+
     for curve_name in curves:
         curve_id = {"ristretto255": 0, "bls12-381": 1, "bn254": 2, "grumpkin": 3}[
             curve_name
@@ -103,20 +119,35 @@ def bench_fixed(ns, curves, samples):
             if curve_id == 0:
                 points = gen.ristretto_generators(n)
             else:
-                points = curve.from_affine_ints(curve.oracle.random_points(min(n, 512)))
-                reps = -(-n // points.x.shape[-1])
-                points = curve.make_point(
-                    *(jnp.tile(c, (1, reps))[:, :n] for c in points)
-                )
+                points = pinned.wcurve_bench_points(curve, n)
             handle = None  # free the previous curve's table before building
             handle = fixed.MultiexpHandle(points, curve=curve, n=n)
-            scalars = rng.integers(0, 256, size=(1, n, 32), dtype=np.uint8)
+            # deterministic counter scalars so the result can be checked
+            # against the pinned cross-implementation digests
+            scalars = pinned.counter_scalars(n)[None]
 
             def run():
                 out = fixed.fixed_multiexponentiation(handle, scalars)
                 _sync(out.x[:, :1])
+                return out
 
             dt = _time(run, samples)
+            # correctness gate BEFORE emitting the timing: digest the device
+            # result against the pinned CPU/reference value (VERDICT r4 #2)
+            log_n = n.bit_length() - 1 if n & (n - 1) == 0 else None
+            res = run()
+            if curve_id == 0:
+                got = pinned.ristretto_digest(res)
+                want = pinned.PINNED["ristretto_msm"].get((log_n,))
+            else:
+                got = pinned.wcurve_digest(curve, res)
+                want = pinned.PINNED["wcurve_msm"].get((curve_name, log_n))
+            if want is not None:
+                assert got == want, (
+                    f"fixed {curve_name} 2^{log_n}: device digest {got} != "
+                    f"pinned {want}"
+                )
+            checked = True if want is not None else f"no-pin:{got}"
 
             # device-resident query (scalars pre-uploaded): isolates chip
             # compute from the host link, matching bench.py / the reference's
@@ -142,6 +173,7 @@ def bench_fixed(ns, curves, samples):
                  "window_width": handle.window_width},
                 dt,
                 work=n,
+                checked=checked,
             )
             handle = None
 
@@ -150,7 +182,8 @@ def bench_vlen(n, num_outputs, samples):
     from blitzar_tpu import generators as gen
     from blitzar_tpu.msm import fixed
 
-    rng = np.random.default_rng(2)
+    import pinned
+
     points = gen.ristretto_generators(n)
     handle = fixed.MultiexpHandle(points, n=n)
     bit_table = [32] * num_outputs
@@ -158,14 +191,26 @@ def bench_vlen(n, num_outputs, samples):
         int(v) for v in np.linspace(max(n // num_outputs, 1), n, num_outputs)
     )
     bit_sum = sum(bit_table)
-    packed = rng.integers(0, 256, size=(n * (-(-bit_sum // 8)),), dtype=np.uint8)
+    # deterministic packed bytes (digest-checkable): counter rows truncated
+    # to the packed byte count
+    packed = pinned.counter_scalars(n, -(-bit_sum // 8)).reshape(-1)
 
     def run():
         out = fixed.fixed_vlen_multiexponentiation(handle, bit_table, lengths, packed)
         _sync(out.x[:, :1])
+        return out
 
     dt = _time(run, samples)
-    _emit("vlen", {"n": n, "num_outputs": num_outputs}, dt, work=sum(lengths))
+    got = pinned.ristretto_digest(run())
+    want = pinned.PINNED.get("vlen", {}).get(
+        (n.bit_length() - 1 if n & (n - 1) == 0 else None, num_outputs)
+    )
+    if want is not None:
+        assert got == want, f"vlen: {got} != pinned {want}"
+    _emit(
+        "vlen", {"n": n, "num_outputs": num_outputs}, dt, work=sum(lengths),
+        checked=True if want is not None else f"no-pin:{got}",
+    )
 
 
 def bench_ipa(ns, samples):
@@ -251,17 +296,48 @@ def bench_sumcheck(n, degree, num_products, samples):
         product_terms += [(p + j) % num_mles for j in range(degree)]
 
     def run():
-        sc.prove_sum(
+        return sc.prove_sum(
             sc.ReferenceSumcheckTranscript(Transcript(b"bench"), sc.SCALAR25519_CODEC),
             mles, product_table, product_terms, n,
         )
 
     dt = _time(run, samples)
+
+    # correctness gate: re-derive the claimed sum with an INDEPENDENT device
+    # program (direct sum of mult * prod_j mle_j[i] over the cube) and run
+    # the full verifier chain over the produced round polynomials
+    polys, _ep = run()
+    codec = sc.SCALAR25519_CODEC
+    field = codec.field
+    n_pad = 1 << max(sc.ceil_log2(n), 1)
+    full = codec.mles_to_device(mles, n_pad)
+    terms_struct = sc._structure(product_table, product_terms)
+
+    @jax.jit
+    def expected_sum(arr):
+        total = field.zeros(())
+        for (mult, _), terms in zip(product_table, terms_struct):
+            p = arr[:, terms[0]]
+            for t in terms[1:]:
+                p = field.mul(p, arr[:, t])
+            s = field.tree_sum(p, n_pad)  # (nlimbs,)
+            total = field.add(total, field.mul(field.from_ints([mult])[:, 0], s))
+        return field.from_mont(total)
+
+    exp_std = np.asarray(expected_sum(full))
+    exp_int = sum(int(exp_std[i]) << (16 * i) for i in range(field.nlimbs))
+    ok, _ep2, _final = sc.verify_sumcheck_no_evaluation(
+        exp_int,
+        sc.ReferenceSumcheckTranscript(Transcript(b"bench"), codec),
+        polys, degree, len(polys),
+    )
+    assert ok, "sumcheck: verifier chain rejected the proved polynomials"
     _emit(
         "sumcheck",
         {"n": n, "degree": degree, "num_products": num_products},
         dt,
         work=n * num_products,
+        checked="verifier-chain",
     )
 
 
@@ -301,19 +377,44 @@ def bench_signed(log_n, samples):
     def run_u():
         out = engine.msm(points, [data_u], [16], [False])
         _sync(out.x[:, :1])
+        return out
 
     def run_s():
         out = engine.msm(points, [data_s], [16], [True])
         _sync(out.x[:, :1])
+        return out
 
     dt_u = _time(run_u, samples)
     dt_s = _time(run_s, samples)
-    _emit("msm_unsigned", {"n": n, "element_nbytes": 16}, dt_u, work=n)
+
+    # correctness gate via two's-complement linearity: interpreting the same
+    # 16-byte rows signed vs unsigned differs by exactly 2^128 * G_neg where
+    # G_neg = sum of generators at rows with the sign bit set, so
+    # Q_unsigned = Q_signed + 2^128 * MSM(neg_indicator). The indicator MSM
+    # reuses the same engine with a 17-byte exponent 2^128 * 1.
+    import pinned
+
+    neg = (data_s[:, -1] >= 0x80).astype(np.uint8)
+    ind = np.zeros((n, 17), np.uint8)
+    ind[:, 16] = neg
+    q_u = run_u()
+    q_s = run_s()
+    q_ind = engine.msm(points, [ind], [17], [False])
+    from blitzar_tpu.curves import edwards25519 as ed
+
+    lhs = pinned.ristretto_digest(q_u)
+    rhs = pinned.ristretto_digest(ed.add(q_s, q_ind))
+    assert lhs == rhs, f"signed/unsigned linearity: {lhs} != {rhs}"
+    _emit(
+        "msm_unsigned", {"n": n, "element_nbytes": 16}, dt_u, work=n,
+        checked="signed-linearity",
+    )
     _emit(
         "msm_signed",
         {"n": n, "element_nbytes": 16, "vs_unsigned": round(dt_s / dt_u, 2)},
         dt_s,
         work=n,
+        checked="signed-linearity",
     )
 
 
@@ -335,9 +436,20 @@ def bench_streaming(log_ns, samples):
         def run():
             out = fixed.streaming_multiexponentiation(points, scalars)
             _sync(out.x[:, :1])
+            return out
 
         dt = _time(run, samples)
-        _emit("streaming_msm", {"n": n}, dt, work=n)
+        # correctness gate: the same MSM through w=4 chunk tables must agree
+        # (independent table builds + different bit-row decomposition; a
+        # wrong carry in the bf16 table path cannot survive both widths)
+        import pinned
+
+        d8 = pinned.ristretto_digest(run())
+        d4 = pinned.ristretto_digest(
+            fixed.streaming_multiexponentiation(points, scalars, window_width=4)
+        )
+        assert d8 == d4, f"streaming 2^{log_n}: w=8 {d8} != w=4 {d4}"
+        _emit("streaming_msm", {"n": n}, dt, work=n, checked="dual-window")
         # at 2^24 the point batch is 4 GB of HBM — free it (and any live
         # chunk slabs) before the next row or the rest of a combined run OOMs
         del points, scalars
@@ -449,9 +561,28 @@ def main():
             def _guard(name, fn, *a):
                 try:
                     fn(*a)
-                except Exception:
-                    print(json.dumps({"benchmark": name, "error": True}), flush=True)
+                except Exception as e:
+                    # record the failure REASON in the emitted row (bare
+                    # {"error": true} rows are useless to a reader)
+                    print(
+                        json.dumps(
+                            {"benchmark": name, "error": True,
+                             "message": f"{type(e).__name__}: {e}"[:300]}
+                        ),
+                        flush=True,
+                    )
                     traceback.print_exc()
+                finally:
+                    # free cross-suite device residents (a 2^20 w=8 handle
+                    # table is 6.4 GB of HBM; leaving it live OOMs the next
+                    # suite's programs)
+                    import gc
+
+                    from blitzar_tpu.msm import engine as _eng
+
+                    _eng._HANDLE_CACHE.clear()
+                    _eng._SMALL_SEEN.clear()
+                    gc.collect()
 
             _guard("handle_setup", bench_setup, [20], args.samples)
             _guard(
