@@ -9,12 +9,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# BLITZAR_TPU_TEST_PLATFORM=tpu runs the suite on the real chip instead of
+# the virtual 8-device CPU mesh (used to produce the committed TPU-platform
+# conformance log; mesh-dependent tests skip themselves on 1 device)
+_TEST_PLATFORM = os.environ.get("BLITZAR_TPU_TEST_PLATFORM", "cpu")
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if _TEST_PLATFORM == "cpu" and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if _TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+# any other value: leave platform selection alone (the tunnel TPU registers
+# as the "axon" plugin platform and is the default where present)
 
 # Cap XLA:CPU codegen at AVX2 BEFORE the backend exists: uncapped AOT cache
 # entries embed prefer-no-gather/scatter pseudo-features their own loader
@@ -25,7 +33,8 @@ _apply_cpu_flags()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _TEST_PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # XLA compiles are slow; cache them across test runs. The directory is
@@ -34,7 +43,9 @@ jax.config.update("jax_platforms", "cpu")
 # with the AVX2 cap, distinct from the untagged (TPU-platform) dir.
 from blitzar_tpu.utils.cache import configure as _configure_cache  # noqa: E402
 
-_configure_cache(jax.config, tag="avx2")
+_configure_cache(
+    jax.config, tag="avx2" if _TEST_PLATFORM == "cpu" else "bench"
+)
 
 
 import pytest
