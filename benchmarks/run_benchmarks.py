@@ -147,7 +147,23 @@ def bench_fixed(ns, curves, samples):
                     f"fixed {curve_name} 2^{log_n}: device digest {got} != "
                     f"pinned {want}"
                 )
-            checked = True if want is not None else f"no-pin:{got}"
+                checked = True
+            else:
+                # no pinned digest for this shape: cross-check the handle
+                # result against w=4 chunk tables on device (independent
+                # table build + bit decomposition)
+                alt = fixed.streaming_multiexponentiation(
+                    points, scalars, curve=curve, window_width=4
+                )
+                alt_d = (
+                    pinned.ristretto_digest(alt)
+                    if curve_id == 0
+                    else pinned.wcurve_digest(curve, alt)
+                )
+                assert alt_d == got, (
+                    f"fixed {curve_name}: w=8 {got} != w=4 {alt_d}"
+                )
+                checked = f"dual-window:{got}"
 
             # device-resident query (scalars pre-uploaded): isolates chip
             # compute from the host link, matching bench.py / the reference's
@@ -272,7 +288,15 @@ def bench_ipa(ns, samples):
         for _ in range(samples):
             verify()
         dt_verify = (time.time() - t0) / samples
-        _emit("ipa_verify", {"n": n}, dt_verify)
+        _emit("ipa_verify", {"n": n}, dt_verify, checked="protocol-verify")
+
+    # free the device residents (the 2^20 w=8 handle table is 6.4 GB of
+    # HBM; leaving it cached OOMs a following sumcheck suite)
+    import gc
+
+    engine._HANDLE_CACHE.clear()
+    engine._SMALL_SEEN.clear()
+    gc.collect()
 
 
 def bench_sumcheck(n, degree, num_products, samples):
